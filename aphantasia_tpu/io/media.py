@@ -1,0 +1,126 @@
+"""Image / frame / video I/O.
+
+Parity targets: reference aphantasia/utils.py:44-100 (file lists, img_read,
+img_save, checkout, cvshow).  Video assembly replaces the reference's
+`os.system('ffmpeg ...')` shell-outs (clip_fft.py:312 etc.) with a muxer
+chain: ffmpeg binary if present -> cv2.VideoWriter -> pure-Python MJPEG/AVI
+fallback (io/avi.py), so runs never silently lose their frames.
+"""
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+
+import numpy as np
+
+
+def basename(file):
+    return os.path.splitext(os.path.basename(file))[0]
+
+
+def file_list(path, ext=None, subdir=None):
+    """Sorted file listing (reference utils.py:47-59)."""
+    if subdir is True:
+        files = [os.path.join(dp, f) for dp, dn, fn in os.walk(path) for f in fn]
+    else:
+        files = [os.path.join(path, f) for f in os.listdir(path)]
+    if ext is not None:
+        if isinstance(ext, list):
+            files = [f for f in files if os.path.splitext(f.lower())[1][1:] in ext]
+        elif isinstance(ext, str):
+            files = [f for f in files if f.endswith(ext)]
+    return sorted([f for f in files if os.path.isfile(f)])
+
+
+def img_list(path, subdir=None):
+    if subdir is True:
+        files = [os.path.join(dp, f) for dp, dn, fn in os.walk(path) for f in fn]
+    else:
+        files = [os.path.join(path, f) for f in os.listdir(path)]
+    files = [f for f in files
+             if os.path.splitext(f.lower())[1][1:] in ["jpg", "jpeg", "png", "ppm", "tif"]]
+    return sorted([f for f in files if os.path.isfile(f)])
+
+
+def img_read(path) -> np.ndarray:
+    """Read image -> HWC RGB uint8-ish array (reference utils.py:69-77)."""
+    from imageio import imread
+    img = imread(path)
+    if img.ndim == 2 or img.shape[2] == 1:
+        img = np.dstack((img, img, img))
+    if img.shape[2] == 4:
+        img = img[:, :, :3]
+    return img
+
+
+def img_save(path, img, norm=True):
+    from imageio import imsave
+    img = np.asarray(img)
+    if norm is True and not np.issubdtype(img.dtype, np.integer):
+        img = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+    imsave(path, img)
+
+
+def cvshow(img):
+    """Live preview window when a display is available; no-op headless."""
+    if os.environ.get("DISPLAY") is None:
+        return
+    try:
+        import cv2
+        img = np.asarray(img)
+        if img.shape[0] > 720 or img.shape[1] > 1280:
+            x_ = 1280 / img.shape[1]
+            y_ = 720 / img.shape[0]
+            psize = tuple(int(s * min(x_, y_)) for s in img.shape[:2][::-1])
+            img = cv2.resize(img, psize)
+        cv2.imshow("t", img[:, :, ::-1])
+        cv2.waitKey(1)
+    except Exception:
+        pass
+
+
+def checkout(img, fname=None, verbose=False):
+    """CHW float [0..1] -> HWC uint8 JPEG + optional preview
+    (reference utils.py:94-100)."""
+    img = np.transpose(np.asarray(img), (1, 2, 0))
+    if verbose is True:
+        cvshow(img)
+    if fname is not None:
+        from imageio import imsave
+        img = np.clip(img * 255, 0, 255).astype(np.uint8)
+        imsave(fname, img)
+
+
+def frames_to_video(frame_dir: str, out_path: str, pattern: str = "%04d.jpg",
+                    fps: int = 25) -> str | None:
+    """Assemble numbered JPEG frames into a video.
+
+    Tries: ffmpeg binary -> cv2.VideoWriter(mp4) -> pure-Python MJPEG AVI.
+    Returns the path actually written, or None when no frames exist.
+    """
+    frames = img_list(frame_dir)
+    if not frames:
+        return None
+    if shutil.which("ffmpeg"):
+        cmd = ["ffmpeg", "-v", "warning", "-y", "-framerate", str(fps),
+               "-i", os.path.join(frame_dir, pattern), out_path]
+        if subprocess.run(cmd, check=False).returncode == 0:
+            return out_path
+    try:
+        import cv2
+        first = img_read(frames[0])
+        h, w = first.shape[:2]
+        fourcc = cv2.VideoWriter_fourcc(*"mp4v")
+        vw = cv2.VideoWriter(out_path, fourcc, fps, (w, h))
+        if vw.isOpened():
+            for f in frames:
+                vw.write(img_read(f)[:, :, ::-1])
+            vw.release()
+            return out_path
+    except Exception:
+        pass
+    from aphantasia_tpu.io.avi import write_mjpeg_avi
+    avi_path = os.path.splitext(out_path)[0] + ".avi"
+    write_mjpeg_avi(avi_path, frames, fps=fps)
+    return avi_path

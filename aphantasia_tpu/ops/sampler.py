@@ -1,0 +1,196 @@
+"""Batched random-cutout sampler — THE hot custom op of the framework.
+
+Behavioral parity with reference `slice_imgs` (aphantasia/utils.py:218-254),
+which runs a Python loop of `count` x {dynamic crop -> bicubic resize} calls.
+That formulation is impossible under XLA's static shapes and would be
+launch-bound anyway, so it is re-architected TPU-first:
+
+* all `count` crop boxes are drawn as arrays in one keyed PRNG pass;
+* each variable-size crop+bicubic-resize is expressed as a fixed-shape pair of
+  per-sample interpolation matrices `cut[s] = Wy[s] @ img @ Wx[s]^T`
+  (align_corners=True cubic weights from ops/resize.py), which XLA maps
+  straight onto the MXU;
+* `overscan`/`overmax` tile padding (utils.py:232-237) is folded into the
+  interpolation matrices through static index maps (ops/tile.py) — the padded
+  frame is never materialized;
+* an optional Pallas kernel (ops/pallas_cutout.py) computes the same
+  contraction with the frame pinned in VMEM, avoiding the [S,C,M,W]
+  intermediate entirely.
+
+Gradients flow through the matmuls back into the frame (the scatter that
+builds Wy/Wx is constant w.r.t. the image), so the op is fully differentiable.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from aphantasia_tpu.ops.resize import resize_axis_taps
+from aphantasia_tpu.ops.tile import pad_maps
+
+
+class Boxes(NamedTuple):
+    """Per-sample crop boxes, in padded-frame coordinates."""
+    csize: jnp.ndarray  # int32 [S] crop side
+    offx: jnp.ndarray   # int32 [S]
+    offy: jnp.ndarray   # int32 [S]
+
+
+@dataclasses.dataclass(frozen=True)
+class CutoutSampler:
+    """Static sampling config (compile-time constants).
+
+    frame_size : (H, W) of the source frame
+    count      : number of cutouts per step
+    modsize    : CLIP input resolution (output side of every cutout)
+    align      : 'uniform' | 'central' | 'overscan' | 'overmax'
+                 (utils.py:222-237 semantics)
+    macro      : probability of sampling a near-full-frame crop
+                 (szmin = 0.9*min(H,W), utils.py:244)
+    chunk      : samples per matmul chunk (bounds the [B,C,M,W] intermediate);
+                 0 disables chunking
+    """
+    frame_size: tuple
+    count: int
+    modsize: int = 224
+    align: str = "uniform"
+    macro: float = 0.0
+    chunk: int = 0
+    use_pallas: bool = False
+
+    @property
+    def padded_size(self):
+        h, w = self.frame_size
+        if self.align == "overmax":
+            return (2 * h, 2 * w)
+        if "over" in self.align:
+            return (int(1.5 * h), int(1.5 * w))
+        return (h, w)
+
+    @property
+    def index_maps(self):
+        """Static per-axis padded->source maps (numpy int32)."""
+        return pad_maps(self.frame_size, self.padded_size, type="centr")
+
+    # ---------------- box sampling (utils.py:218-247 parity) --------------
+
+    def sample_boxes(self, key: jax.Array) -> Boxes:
+        h, w = self.frame_size
+        hp, wp = self.padded_size
+        k_size, k_ox, k_oy, k_macro = jax.random.split(key, 4)
+        s = self.count
+        rnd_size = jax.random.uniform(k_size, (s,))
+        if self.align == "central":  # normal around center, utils.py:223-225
+            rnd_offx = jnp.clip(jax.random.normal(k_ox, (s,)) * 0.2 + 0.5, 0.0, 1.0)
+            rnd_offy = jnp.clip(jax.random.normal(k_oy, (s,)) * 0.2 + 0.5, 0.0, 1.0)
+        else:
+            rnd_offx = jax.random.uniform(k_ox, (s,))
+            rnd_offy = jax.random.uniform(k_oy, (s,))
+        sz_max = float(min(h, w))  # min over ORIGINAL dims (utils.py:231)
+        is_macro = jax.random.uniform(k_macro, (s,)) < self.macro
+        sz_min = jnp.where(is_macro, 0.9 * sz_max, float(self.modsize))
+        csize = (rnd_size * (sz_max - sz_min) + sz_min).astype(jnp.int32)
+        offx = (rnd_offx * (wp - csize).astype(jnp.float32)).astype(jnp.int32)
+        offy = (rnd_offy * (hp - csize).astype(jnp.float32)).astype(jnp.int32)
+        return Boxes(csize, offx, offy)
+
+    # ---------------- interpolation matrices ------------------------------
+
+    def tap_indices(self, boxes: Boxes):
+        """Per-sample bicubic taps, mapped to source coords.
+
+        Returns (yidx, yw, xidx, xw): int32/float32 [S, modsize, 4].
+        Taps clamp at the crop borders (exactly like torch's bicubic on the
+        cropped view), then the overscan tile map sends padded coords to
+        source coords.
+        """
+        m = self.modsize
+        yidx, yw = resize_axis_taps(m, boxes.csize, boxes.offy)
+        xidx, xw = resize_axis_taps(m, boxes.csize, boxes.offx)
+        y_map, x_map = self.index_maps
+        yidx = jnp.asarray(y_map)[yidx]
+        xidx = jnp.asarray(x_map)[xidx]
+        return yidx, yw, xidx, xw
+
+    def weight_matrices(self, boxes: Boxes):
+        """Dense per-sample interpolation matrices Wy [S,M,H], Wx [S,M,W]."""
+        h, w = self.frame_size
+        yidx, yw, xidx, xw = self.tap_indices(boxes)
+        s, m, _ = yidx.shape
+        rows = jnp.broadcast_to(jnp.arange(m)[None, :, None], yidx.shape)
+        samp = jnp.broadcast_to(jnp.arange(s)[:, None, None], yidx.shape)
+        wy = jnp.zeros((s, m, h), jnp.float32).at[samp, rows, yidx].add(yw)
+        wx = jnp.zeros((s, m, w), jnp.float32).at[samp, rows, xidx].add(xw)
+        return wy, wx
+
+    # ---------------- the cutout op ---------------------------------------
+
+    def cut(self, img: jnp.ndarray, boxes: Boxes,
+            compute_dtype=None) -> jnp.ndarray:
+        """img [1,C,H,W] or [C,H,W] -> cutouts [S,C,M,M]."""
+        if img.ndim == 4:
+            img = img[0]
+        if self.use_pallas:
+            from aphantasia_tpu.ops.pallas_cutout import pallas_cut
+            return pallas_cut(self, img, boxes)
+        wy, wx = self.weight_matrices(boxes)
+        dt = compute_dtype or jnp.float32
+        imgc = img.astype(dt)
+
+        def chunk_fn(args):
+            wy_c, wx_c = args
+            tmp = jnp.einsum("smh,chw->scmw", wy_c.astype(dt), imgc,
+                             preferred_element_type=jnp.float32)
+            return jnp.einsum("scmw,snw->scmn", tmp.astype(dt), wx_c.astype(dt),
+                              preferred_element_type=jnp.float32)
+
+        if self.chunk and self.count > self.chunk:
+            b = self.chunk
+            s = self.count
+            pad = (-s) % b
+            if pad:
+                wy = jnp.concatenate([wy, jnp.zeros((pad,) + wy.shape[1:], wy.dtype)])
+                wx = jnp.concatenate([wx, jnp.zeros((pad,) + wx.shape[1:], wx.dtype)])
+            wy = wy.reshape(-1, b, *wy.shape[1:])
+            wx = wx.reshape(-1, b, *wx.shape[1:])
+            cuts = lax.map(chunk_fn, (wy, wx))
+            cuts = cuts.reshape(-1, *cuts.shape[2:])[:s]
+        else:
+            cuts = chunk_fn((wy, wx))
+        return cuts
+
+    def __call__(self, key: jax.Array, img: jnp.ndarray,
+                 transform=None, transform_key: jax.Array | None = None,
+                 compute_dtype=None) -> jnp.ndarray:
+        """Sample boxes + cut + optional augmentation transform.
+
+        Functional equivalent of one `slice_imgs([img], ...)` call
+        (utils.py:218-254); `transform` receives (key, cuts) when it wants
+        randomness, else (cuts).
+        """
+        boxes = self.sample_boxes(key)
+        cuts = self.cut(img, boxes, compute_dtype=compute_dtype)
+        if transform is not None:
+            if transform_key is not None:
+                cuts = transform(transform_key, cuts)
+            else:
+                cuts = transform(cuts)
+        return cuts
+
+
+def slice_imgs(key: jax.Array, imgs, count: int, size: int = 224,
+               transform=None, align: str = "uniform", macro: float = 0.0):
+    """List-based convenience wrapper mirroring the reference signature
+    (utils.py:218).  Returns a list of [S,C,size,size] arrays."""
+    out = []
+    for i, img in enumerate(imgs):
+        k_i, k_t, key = jax.random.split(key, 3)
+        hw = img.shape[-2:]
+        sampler = CutoutSampler(tuple(hw), count, size, align, macro)
+        out.append(sampler(k_i, img, transform=transform, transform_key=k_t))
+    return out

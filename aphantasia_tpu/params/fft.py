@@ -1,0 +1,164 @@
+"""FFT spectrum parameterizer.
+
+The trainable state is a real/imag rfft2 spectrum `[1,3,H,W//2+1,2]`; decoding
+scales it by a 1/f^decay frequency curve and inverse-rFFTs to an image whose
+global contrast is normalized by its std.
+
+Behavioral parity with reference aphantasia/image.py:122-220 (`rfft2d_freqs`,
+`resume_fft`, `fft_image`, `un_spectrum`, `img2fft`), re-architected as pure
+jittable functions: the decay-scale array is a compile-time constant, decode is
+`decode(params, shift, contrast)` with no hidden closure state, and spectrum
+`shift` input supports interpolation / noise injection (image.py:166-167).
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from aphantasia_tpu.params.color import to_valid_rgb, un_rgb
+
+
+def rfft2d_freqs(h: int, w: int) -> np.ndarray:
+    """2D rfft spectrum frequency magnitudes (reference image.py:122-128)."""
+    fy = np.fft.fftfreq(h)[:, None]
+    w2 = (w + 1) // 2 if w % 2 == 1 else w // 2 + 1
+    fx = np.fft.fftfreq(w)[:w2]
+    return np.sqrt(fx * fx + fy * fy)
+
+
+def fft_scale(h: int, w: int, decay_power: float = 1.0) -> np.ndarray:
+    """Frequency-decay scale curve `[1,1,h,w//2+1,1]` (image.py:159-162).
+
+    1 / max(freq, 4/max(h,w))^decay, multiplied by sqrt(h*w).
+    """
+    freqs = rfft2d_freqs(h, w)
+    scale = 1.0 / np.maximum(freqs, 4.0 / max(h, w)) ** decay_power
+    scale *= np.sqrt(h * w)
+    return scale.astype(np.float32)[None, None, :, :, None]
+
+
+def fft_init(key: jax.Array, shape, sd: float = 0.01) -> jnp.ndarray:
+    """Random spectrum init `sd * randn([1,3,h,w//2+1,2])`.
+
+    The reference hardcodes sd=0.01 for random init (image.py:134) regardless
+    of the `sd` argument; we default to the same but keep it overridable.
+    """
+    n, c, h, w = shape
+    params_shape = (n, c, h, w // 2 + 1, 2)
+    return sd * jax.random.normal(key, params_shape, dtype=jnp.float32)
+
+
+def fft_decode(params: jnp.ndarray, scale: jnp.ndarray, size,
+               shift: jnp.ndarray | None = None,
+               contrast: float = 1.0) -> jnp.ndarray:
+    """spectrum -> image, pure and jittable (reference image.py:164-175).
+
+    scaled = scale * (params [+ shift]); image = irfft2(scaled, norm='ortho');
+    image *= contrast / std(image).  `std` uses Bessel's correction to match
+    torch.Tensor.std().
+    """
+    h, w = size
+    scaled = scale * params
+    if shift is not None:
+        scaled = scaled + scale * shift
+    spec = jax.lax.complex(scaled[..., 0], scaled[..., 1])
+    image = jnp.fft.irfft2(spec, s=(h, w), norm="ortho")
+    std = jnp.std(image, ddof=1)
+    return image * contrast / std
+
+
+def un_spectrum(spectrum: jnp.ndarray, decay_power: float) -> jnp.ndarray:
+    """Undo the decay scaling (reference image.py:199-206).
+
+    NOTE the reference uses floor frequency 1/max(w,h) here (vs 4/max in the
+    forward scale) — kept for parity.
+    """
+    h = spectrum.shape[2]
+    w = (spectrum.shape[3] - 1) * 2
+    freqs = rfft2d_freqs(h, w)
+    scale = 1.0 / np.maximum(freqs, 1.0 / max(w, h)) ** decay_power
+    scale *= np.sqrt(w * h)
+    return spectrum / jnp.asarray(scale.astype(np.float32)[None, None, :, :, None])
+
+
+def img2fft(img_in, decay: float = 1.0, colors: float = 1.0) -> jnp.ndarray:
+    """Image -> spectrum params for resume-from-image (image.py:208-220).
+
+    un_rgb -> rfft2(norm='ortho') -> un-scale by decay curve -> *500000
+    (empirical gain, image.py:219 "[sic!!!]").
+    """
+    image_t = un_rgb(img_in, colors=colors)
+    h, w = image_t.shape[2], image_t.shape[3]
+    spec = jnp.fft.rfft2(image_t, s=(h, w), norm="ortho")
+    spectrum = jnp.stack([spec.real, spec.imag], axis=-1)
+    spectrum = un_spectrum(spectrum, decay_power=decay)
+    return spectrum * 500000.0
+
+
+def resume_fft(resume=None, shape=None, decay: float | None = None,
+               colors: float = 1.6, sd: float = 0.01, key: jax.Array | None = None):
+    """Resolve FFT params from None / .pt path / image path / array.
+
+    Parity with reference image.py:130-150:
+      None        -> 0.01*randn (key required)
+      .pt path    -> loaded params * sd
+      image path  -> img2fft(image); returns inferred size
+      array/list  -> as-is
+    Returns (params, size_or_None).
+    """
+    size = None
+    if resume is None:
+        assert key is not None, "random init needs a PRNG key"
+        params = fft_init(key, shape, sd=0.01)
+    elif isinstance(resume, str):
+        if not os.path.isfile(resume):
+            raise FileNotFoundError(f"Snapshot not found: {resume}")
+        ext = os.path.splitext(resume)[1].lower()[1:]
+        if ext in ("jpg", "jpeg", "png", "tif", "bmp"):
+            from aphantasia_tpu.io.media import img_read
+            img_in = img_read(resume)
+            params = img2fft(img_in, decay, colors)
+            size = img_in.shape[:2]
+        else:
+            from aphantasia_tpu.io.checkpoint import load_pt
+            params = load_pt(resume)
+            if isinstance(params, list):
+                params = params[0]
+            params = jnp.asarray(np.asarray(params)) * sd
+    else:
+        if isinstance(resume, list):
+            resume = resume[0]
+        params = jnp.asarray(resume)
+    return params, size
+
+
+@dataclasses.dataclass(frozen=True)
+class FFTParameterizer:
+    """Static decode config bundling size + decay curve + color head.
+
+    Replaces the reference's `fft_image` closure factory (image.py:152-177)
+    with an explicit (config, params) split so `decode` can live inside jit.
+    """
+    size: tuple          # (H, W)
+    decay_power: float = 1.0
+    colors: float = 1.6
+
+    def init(self, key: jax.Array, sd: float = 0.01) -> jnp.ndarray:
+        h, w = self.size
+        return fft_init(key, (1, 3, h, w), sd=sd)
+
+    @property
+    def scale(self) -> np.ndarray:
+        h, w = self.size
+        return fft_scale(h, w, self.decay_power)
+
+    def decode(self, params, shift=None, contrast: float = 1.0) -> jnp.ndarray:
+        return fft_decode(params, jnp.asarray(self.scale), self.size, shift, contrast)
+
+    def image(self, params, shift=None, contrast: float = 1.0) -> jnp.ndarray:
+        """Decode straight to valid RGB in [0,1]."""
+        return to_valid_rgb(self.decode(params, shift, contrast), colors=self.colors)

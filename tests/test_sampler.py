@@ -1,0 +1,105 @@
+"""Cutout sampler tests: bicubic/crop parity vs torch F.interpolate, tiling."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from aphantasia_tpu.ops.resize import resize_bicubic
+from aphantasia_tpu.ops.sampler import CutoutSampler, Boxes
+from aphantasia_tpu.ops.tile import tile_axis_map, pad_up_to
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F
+
+
+def test_resize_bicubic_matches_torch():
+    rs = np.random.RandomState(0)
+    img = rs.rand(1, 3, 37, 53).astype(np.float32)
+    for size in [(24, 24), (64, 80), (37, 53)]:
+        got = np.asarray(resize_bicubic(jnp.asarray(img), size))
+        want = F.interpolate(torch.from_numpy(img), size, mode="bicubic",
+                             align_corners=True).numpy()
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def _torch_cuts(img_np, boxes, modsize, y_map, x_map):
+    """Reference crop+resize math (utils.py:239-253) on the padded frame."""
+    img = torch.from_numpy(img_np)[None]
+    padded = img[:, :, torch.from_numpy(y_map.astype(np.int64))[:, None],
+                 torch.from_numpy(x_map.astype(np.int64))[None, :]]
+    cuts = []
+    for cs, ox, oy in zip(*[np.asarray(b) for b in boxes]):
+        cut = padded[:, :, oy:oy + cs, ox:ox + cs]
+        cut = F.interpolate(cut, (modsize, modsize), mode="bicubic",
+                            align_corners=True)
+        cuts.append(cut)
+    return torch.cat(cuts, 0).numpy()
+
+
+@pytest.mark.parametrize("align", ["uniform", "central", "overscan", "overmax"])
+def test_cutouts_match_torch(align):
+    rs = np.random.RandomState(1)
+    h, w, m, s = 60, 90, 32, 7
+    img = rs.rand(3, h, w).astype(np.float32)
+    sampler = CutoutSampler((h, w), count=s, modsize=m, align=align, macro=0.4)
+    boxes = sampler.sample_boxes(jax.random.PRNGKey(7))
+    got = np.asarray(sampler.cut(jnp.asarray(img), boxes))
+    y_map, x_map = sampler.index_maps
+    want = _torch_cuts(img, boxes, m, y_map, x_map)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_box_ranges():
+    h, w, s = 64, 96, 64
+    sampler = CutoutSampler((h, w), count=s, modsize=32, align="uniform", macro=0.5)
+    boxes = sampler.sample_boxes(jax.random.PRNGKey(0))
+    cs, ox, oy = map(np.asarray, boxes)
+    assert (cs >= 32 * 0.9).all() and (cs <= min(h, w)).all()
+    assert (ox >= 0).all() and (ox + cs <= w).all()
+    assert (oy >= 0).all() and (oy + cs <= h).all()
+
+
+def test_chunked_equals_unchunked():
+    rs = np.random.RandomState(2)
+    img = rs.rand(3, 40, 40).astype(np.float32)
+    s1 = CutoutSampler((40, 40), count=10, modsize=16, chunk=0)
+    s2 = CutoutSampler((40, 40), count=10, modsize=16, chunk=4)
+    boxes = s1.sample_boxes(jax.random.PRNGKey(3))
+    a = np.asarray(s1.cut(jnp.asarray(img), boxes))
+    b = np.asarray(s2.cut(jnp.asarray(img), boxes))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_tile_axis_map_repeating():
+    m = tile_axis_map(4, 3, 5)  # pad 3 before, 5 after
+    assert list(m) == [1, 2, 3, 0, 1, 2, 3, 0, 1, 2, 3, 0]
+
+
+def test_tile_axis_map_symmetric():
+    m = tile_axis_map(4, 2, 2, symm=True)
+    # triangular reflection around -0.5 / 3.5
+    assert len(m) == 8
+    assert list(m[2:6]) == [0, 1, 2, 3]
+
+
+def test_pad_up_to_matches_torch_reference_semantics():
+    rs = np.random.RandomState(4)
+    x = jnp.asarray(rs.rand(1, 3, 6, 8).astype(np.float32))
+    y = pad_up_to(x, (9, 12), type="centr")
+    assert y.shape == (1, 3, 9, 12)
+    # center region must be the source
+    np.testing.assert_allclose(np.asarray(y[:, :, 1:7, 2:10]), np.asarray(x))
+
+
+def test_cut_gradient_flows_to_image():
+    img = jnp.ones((3, 32, 32))
+    sampler = CutoutSampler((32, 32), count=4, modsize=16)
+    boxes = sampler.sample_boxes(jax.random.PRNGKey(0))
+
+    def loss(im):
+        return jnp.sum(sampler.cut(im, boxes) ** 2)
+
+    g = jax.grad(loss)(img)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0
