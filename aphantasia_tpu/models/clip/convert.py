@@ -1,0 +1,210 @@
+"""CLIP weight conversion: OpenAI / HuggingFace checkpoints -> param pytree.
+
+Sources supported (no network access is ever required):
+  * OpenAI `clip` release .pt files (TorchScript jit archives or plain
+    state_dicts) — the files the reference downloads via `clip.load`
+    (clip_fft.py:119);
+  * HuggingFace `transformers.CLIPModel` state_dicts
+    (openai/clip-vit-* / RN checkpoints re-hosted on HF).
+
+Torch is used only if importable (to read jit archives); plain state_dicts
+also load through the torch-free codec in io/checkpoint.py.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def _np(x):
+    return np.asarray(x, dtype=np.float32)
+
+
+def _read_state_dict(path: str):
+    try:
+        import torch
+        try:
+            model = torch.jit.load(path, map_location="cpu")
+            sd = model.state_dict()
+        except Exception:
+            sd = torch.load(path, map_location="cpu")
+            if hasattr(sd, "state_dict"):
+                sd = sd.state_dict()
+        return {k: v.float().numpy() for k, v in sd.items()}
+    except ImportError:
+        from aphantasia_tpu.io.checkpoint import load_pt
+        sd = load_pt(path)
+        return {k: np.asarray(v, np.float32) for k, v in sd.items()}
+
+
+def _ln(sd, prefix):
+    return {"g": jnp.asarray(_np(sd[prefix + ".weight"])),
+            "b": jnp.asarray(_np(sd[prefix + ".bias"]))}
+
+
+def _bn(sd, prefix):
+    return {"g": jnp.asarray(_np(sd[prefix + ".weight"])),
+            "b": jnp.asarray(_np(sd[prefix + ".bias"])),
+            "m": jnp.asarray(_np(sd[prefix + ".running_mean"])),
+            "v": jnp.asarray(_np(sd[prefix + ".running_var"]))}
+
+
+def _conv_hwio(w):
+    # torch OIHW -> HWIO
+    return jnp.asarray(_np(w).transpose(2, 3, 1, 0))
+
+
+def _block(sd, prefix):
+    return {
+        "ln_1": _ln(sd, prefix + ".ln_1"),
+        "attn": {
+            "in_w": jnp.asarray(_np(sd[prefix + ".attn.in_proj_weight"]).T),
+            "in_b": jnp.asarray(_np(sd[prefix + ".attn.in_proj_bias"])),
+            "out_w": jnp.asarray(_np(sd[prefix + ".attn.out_proj.weight"]).T),
+            "out_b": jnp.asarray(_np(sd[prefix + ".attn.out_proj.bias"])),
+        },
+        "ln_2": _ln(sd, prefix + ".ln_2"),
+        "mlp": {
+            "fc_w": jnp.asarray(_np(sd[prefix + ".mlp.c_fc.weight"]).T),
+            "fc_b": jnp.asarray(_np(sd[prefix + ".mlp.c_fc.bias"])),
+            "proj_w": jnp.asarray(_np(sd[prefix + ".mlp.c_proj.weight"]).T),
+            "proj_b": jnp.asarray(_np(sd[prefix + ".mlp.c_proj.bias"])),
+        },
+    }
+
+
+def convert_openai_checkpoint(path_or_sd):
+    """OpenAI-naming state_dict -> our param pytree (ViT or ModifiedResNet)."""
+    sd = path_or_sd if isinstance(path_or_sd, dict) else _read_state_dict(path_or_sd)
+    is_vit = "visual.conv1.weight" in sd and "visual.class_embedding" in sd
+
+    n_text = max(int(k.split(".")[2]) for k in sd
+                 if k.startswith("transformer.resblocks.")) + 1
+    text = {
+        "token_embedding": jnp.asarray(_np(sd["token_embedding.weight"])),
+        "positional_embedding": jnp.asarray(_np(sd["positional_embedding"])),
+        "blocks": [_block(sd, f"transformer.resblocks.{i}") for i in range(n_text)],
+        "ln_final": _ln(sd, "ln_final"),
+        "text_projection": jnp.asarray(_np(sd["text_projection"])),
+    }
+
+    if is_vit:
+        n_vis = max(int(k.split(".")[3]) for k in sd
+                    if k.startswith("visual.transformer.resblocks.")) + 1
+        conv = _np(sd["visual.conv1.weight"])  # [width, 3, p, p]
+        visual = {
+            "conv": jnp.asarray(conv.reshape(conv.shape[0], -1).T),
+            "class_emb": jnp.asarray(_np(sd["visual.class_embedding"])),
+            "pos_emb": jnp.asarray(_np(sd["visual.positional_embedding"])),
+            "ln_pre": _ln(sd, "visual.ln_pre"),
+            "blocks": [_block(sd, f"visual.transformer.resblocks.{i}")
+                       for i in range(n_vis)],
+            "ln_post": _ln(sd, "visual.ln_post"),
+            "proj": jnp.asarray(_np(sd["visual.proj"])),
+        }
+    else:
+        stem = {
+            "conv1_w": _conv_hwio(sd["visual.conv1.weight"]), "bn1": _bn(sd, "visual.bn1"),
+            "conv2_w": _conv_hwio(sd["visual.conv2.weight"]), "bn2": _bn(sd, "visual.bn2"),
+            "conv3_w": _conv_hwio(sd["visual.conv3.weight"]), "bn3": _bn(sd, "visual.bn3"),
+        }
+        layers = []
+        for i in range(1, 5):
+            stage = []
+            j = 0
+            while f"visual.layer{i}.{j}.conv1.weight" in sd:
+                pre = f"visual.layer{i}.{j}"
+                blk = {
+                    "conv1_w": _conv_hwio(sd[pre + ".conv1.weight"]), "bn1": _bn(sd, pre + ".bn1"),
+                    "conv2_w": _conv_hwio(sd[pre + ".conv2.weight"]), "bn2": _bn(sd, pre + ".bn2"),
+                    "conv3_w": _conv_hwio(sd[pre + ".conv3.weight"]), "bn3": _bn(sd, pre + ".bn3"),
+                }
+                if pre + ".downsample.0.weight" in sd:
+                    blk["down_conv_w"] = _conv_hwio(sd[pre + ".downsample.0.weight"])
+                    blk["down_bn"] = _bn(sd, pre + ".downsample.1")
+                stage.append(blk)
+                j += 1
+            layers.append(stage)
+        ap = "visual.attnpool"
+        visual = {
+            "stem": stem, "layers": layers,
+            "attnpool": {
+                "pos_emb": jnp.asarray(_np(sd[ap + ".positional_embedding"])),
+                "q_w": jnp.asarray(_np(sd[ap + ".q_proj.weight"]).T),
+                "q_b": jnp.asarray(_np(sd[ap + ".q_proj.bias"])),
+                "k_w": jnp.asarray(_np(sd[ap + ".k_proj.weight"]).T),
+                "k_b": jnp.asarray(_np(sd[ap + ".k_proj.bias"])),
+                "v_w": jnp.asarray(_np(sd[ap + ".v_proj.weight"]).T),
+                "v_b": jnp.asarray(_np(sd[ap + ".v_proj.bias"])),
+                "c_w": jnp.asarray(_np(sd[ap + ".c_proj.weight"]).T),
+                "c_b": jnp.asarray(_np(sd[ap + ".c_proj.bias"])),
+            },
+        }
+
+    return {"visual": visual, "text": text,
+            "logit_scale": jnp.asarray(_np(sd["logit_scale"]))}
+
+
+def convert_hf_clip(sd_or_model):
+    """HuggingFace `transformers.CLIPModel` (ViT) state_dict -> pytree.
+
+    HF splits qkv into q/k/v projections; we re-merge into the fused layout.
+    """
+    if hasattr(sd_or_model, "state_dict"):
+        sd = {k: v.detach().float().numpy() for k, v in sd_or_model.state_dict().items()}
+    else:
+        sd = {k: _np(v) for k, v in sd_or_model.items()}
+
+    def hf_block(prefix):
+        q = _np(sd[prefix + ".self_attn.q_proj.weight"])
+        k = _np(sd[prefix + ".self_attn.k_proj.weight"])
+        v = _np(sd[prefix + ".self_attn.v_proj.weight"])
+        qb = _np(sd[prefix + ".self_attn.q_proj.bias"])
+        kb = _np(sd[prefix + ".self_attn.k_proj.bias"])
+        vb = _np(sd[prefix + ".self_attn.v_proj.bias"])
+        return {
+            "ln_1": {"g": jnp.asarray(_np(sd[prefix + ".layer_norm1.weight"])),
+                     "b": jnp.asarray(_np(sd[prefix + ".layer_norm1.bias"]))},
+            "attn": {
+                "in_w": jnp.asarray(np.concatenate([q, k, v], 0).T),
+                "in_b": jnp.asarray(np.concatenate([qb, kb, vb], 0)),
+                "out_w": jnp.asarray(_np(sd[prefix + ".self_attn.out_proj.weight"]).T),
+                "out_b": jnp.asarray(_np(sd[prefix + ".self_attn.out_proj.bias"])),
+            },
+            "ln_2": {"g": jnp.asarray(_np(sd[prefix + ".layer_norm2.weight"])),
+                     "b": jnp.asarray(_np(sd[prefix + ".layer_norm2.bias"]))},
+            "mlp": {
+                "fc_w": jnp.asarray(_np(sd[prefix + ".mlp.fc1.weight"]).T),
+                "fc_b": jnp.asarray(_np(sd[prefix + ".mlp.fc1.bias"])),
+                "proj_w": jnp.asarray(_np(sd[prefix + ".mlp.fc2.weight"]).T),
+                "proj_b": jnp.asarray(_np(sd[prefix + ".mlp.fc2.bias"])),
+            },
+        }
+
+    n_vis = max(int(k.split(".")[3]) for k in sd
+                if k.startswith("vision_model.encoder.layers.")) + 1
+    n_txt = max(int(k.split(".")[3]) for k in sd
+                if k.startswith("text_model.encoder.layers.")) + 1
+    conv = _np(sd["vision_model.embeddings.patch_embedding.weight"])
+    visual = {
+        "conv": jnp.asarray(conv.reshape(conv.shape[0], -1).T),
+        "class_emb": jnp.asarray(_np(sd["vision_model.embeddings.class_embedding"])),
+        "pos_emb": jnp.asarray(_np(sd["vision_model.embeddings.position_embedding.weight"])),
+        "ln_pre": {"g": jnp.asarray(_np(sd["vision_model.pre_layrnorm.weight"])),
+                   "b": jnp.asarray(_np(sd["vision_model.pre_layrnorm.bias"]))},
+        "blocks": [hf_block(f"vision_model.encoder.layers.{i}") for i in range(n_vis)],
+        "ln_post": {"g": jnp.asarray(_np(sd["vision_model.post_layernorm.weight"])),
+                    "b": jnp.asarray(_np(sd["vision_model.post_layernorm.bias"]))},
+        "proj": jnp.asarray(_np(sd["visual_projection.weight"]).T),
+    }
+    text = {
+        "token_embedding": jnp.asarray(_np(sd["text_model.embeddings.token_embedding.weight"])),
+        "positional_embedding": jnp.asarray(
+            _np(sd["text_model.embeddings.position_embedding.weight"])),
+        "blocks": [hf_block(f"text_model.encoder.layers.{i}") for i in range(n_txt)],
+        "ln_final": {"g": jnp.asarray(_np(sd["text_model.final_layer_norm.weight"])),
+                     "b": jnp.asarray(_np(sd["text_model.final_layer_norm.bias"]))},
+        "text_projection": jnp.asarray(_np(sd["text_projection.weight"]).T),
+    }
+    return {"visual": visual, "text": text,
+            "logit_scale": jnp.asarray(_np(sd.get("logit_scale", np.log(1 / 0.07))))}

@@ -1,0 +1,369 @@
+"""OpenAI-CLIP architecture family in pure functional JAX.
+
+Covers every model the reference can select (clip_fft.py:33, illustra.py:27):
+ViT-B/32, ViT-B/16, ViT-L/14[@336px] and the ModifiedResNet family RN50,
+RN101, RN50x4, RN50x16, RN50x64.  Params are nested dicts of jnp arrays;
+`encode_image` / `encode_text` are pure jittable functions.
+
+TPU-first choices: patchify is a reshape+matmul (MXU) instead of a conv;
+attention uses `jax.nn.dot_product_attention`; layernorms run in fp32 while
+matmuls run in a configurable compute dtype (bf16 by default on TPU).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPConfig:
+    name: str
+    embed_dim: int
+    image_resolution: int
+    vision_layers: Any          # int (ViT) or 4-tuple (ModifiedResNet)
+    vision_width: int
+    vision_patch_size: int      # 0 for ResNet
+    context_length: int = 77
+    vocab_size: int = 49408
+    transformer_width: int = 512
+    transformer_heads: int = 8
+    transformer_layers: int = 12
+    vision_heads_override: int = 0  # for tiny test configs
+
+    @property
+    def is_vit(self) -> bool:
+        return isinstance(self.vision_layers, int)
+
+    @property
+    def vision_heads(self) -> int:
+        if self.vision_heads_override:
+            return self.vision_heads_override
+        return self.vision_width // 64 if self.is_vit else self.vision_width * 32 // 64
+
+
+CLIP_CONFIGS = {
+    "ViT-B/32": CLIPConfig("ViT-B/32", 512, 224, 12, 768, 32),
+    "ViT-B/16": CLIPConfig("ViT-B/16", 512, 224, 12, 768, 16),
+    "ViT-L/14": CLIPConfig("ViT-L/14", 768, 224, 24, 1024, 14,
+                           transformer_width=768, transformer_heads=12),
+    "ViT-L/14@336px": CLIPConfig("ViT-L/14@336px", 768, 336, 24, 1024, 14,
+                                 transformer_width=768, transformer_heads=12),
+    "RN50": CLIPConfig("RN50", 1024, 224, (3, 4, 6, 3), 64, 0),
+    "RN101": CLIPConfig("RN101", 512, 224, (3, 4, 23, 3), 64, 0),
+    "RN50x4": CLIPConfig("RN50x4", 640, 288, (4, 6, 10, 6), 80, 0,
+                         transformer_width=640, transformer_heads=10),
+    "RN50x16": CLIPConfig("RN50x16", 768, 384, (6, 8, 18, 8), 96, 0,
+                          transformer_width=768, transformer_heads=12),
+    "RN50x64": CLIPConfig("RN50x64", 1024, 448, (3, 15, 36, 10), 128, 0,
+                          transformer_width=1024, transformer_heads=16),
+}
+
+# sample-budget multipliers per model — constant-memory heuristic
+# (reference clip_fft.py:125-127; illustra.py:97 adds ViT-L/RN50x64)
+XMEM = {"ViT-B/16": 0.25, "ViT-L/14": 0.04, "RN50": 0.5, "RN50x4": 0.16,
+        "RN50x16": 0.06, "RN50x64": 0.01, "RN101": 0.33}
+
+
+# ------------------------------------------------------------------ layers
+
+def layer_norm(x, p, eps=1e-5):
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (y * p["g"] + p["b"]).astype(x.dtype)
+
+
+def quick_gelu(x):
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def mha(x, p, n_heads, mask=None):
+    """Multi-head self-attention with merged-qkv torch layout."""
+    b, t, d = x.shape
+    qkv = x @ p["in_w"].astype(x.dtype) + p["in_b"].astype(x.dtype)  # [b,t,3d]
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    hd = d // n_heads
+    q = q.reshape(b, t, n_heads, hd)
+    k = k.reshape(b, t, n_heads, hd)
+    v = v.reshape(b, t, n_heads, hd)
+    o = jax.nn.dot_product_attention(q, k, v, mask=mask)
+    o = o.reshape(b, t, d)
+    return o @ p["out_w"].astype(x.dtype) + p["out_b"].astype(x.dtype)
+
+
+def resblock(x, p, n_heads, mask=None):
+    x = x + mha(layer_norm(x, p["ln_1"]), p["attn"], n_heads, mask)
+    h = layer_norm(x, p["ln_2"])
+    h = quick_gelu(h @ p["mlp"]["fc_w"].astype(x.dtype) + p["mlp"]["fc_b"].astype(x.dtype))
+    h = h @ p["mlp"]["proj_w"].astype(x.dtype) + p["mlp"]["proj_b"].astype(x.dtype)
+    return x + h
+
+
+def transformer(x, blocks, n_heads, mask=None):
+    for p in blocks:
+        x = resblock(x, p, n_heads, mask)
+    return x
+
+
+# ------------------------------------------------------------------ ViT
+
+def vit_encode(params, cfg: CLIPConfig, x, dtype=jnp.float32):
+    """x: NCHW normalized images -> [N, embed_dim]."""
+    p = cfg.vision_patch_size
+    b, c, h, w = x.shape
+    gh, gw = h // p, w // p
+    x = x.astype(dtype)
+    # patchify as reshape+matmul (== conv stride p with no bias)
+    x = x.reshape(b, c, gh, p, gw, p)
+    x = x.transpose(0, 2, 4, 1, 3, 5).reshape(b, gh * gw, c * p * p)
+    x = x @ params["conv"].astype(dtype)
+    cls = jnp.broadcast_to(params["class_emb"].astype(dtype), (b, 1, x.shape[-1]))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + params["pos_emb"].astype(dtype)
+    x = layer_norm(x, params["ln_pre"])
+    x = transformer(x, params["blocks"], cfg.vision_heads)
+    x = layer_norm(x[:, 0], params["ln_post"])
+    return x @ params["proj"].astype(dtype)
+
+
+# ------------------------------------------------------------------ ModifiedResNet
+
+def _bn(x, p):
+    # frozen batchnorm: running-stats affine
+    inv = jax.lax.rsqrt(p["v"].astype(jnp.float32) + 1e-5)
+    g = (p["g"] * inv).astype(x.dtype)
+    b = (p["b"] - p["m"] * p["g"] * inv).astype(x.dtype)
+    return x * g + b
+
+
+def _conv(x, w, stride=1, padding="SAME"):
+    # NHWC x HWIO
+    return jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), (stride, stride), padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def _avgpool(x, k):
+    return jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, k, k, 1), (1, k, k, 1), "VALID") / (k * k)
+
+
+def bottleneck(x, p, stride):
+    out = jax.nn.relu(_bn(_conv(x, p["conv1_w"]), p["bn1"]))
+    out = jax.nn.relu(_bn(_conv(out, p["conv2_w"]), p["bn2"]))
+    if stride > 1:
+        out = _avgpool(out, stride)
+    out = _bn(_conv(out, p["conv3_w"]), p["bn3"])
+    if "down_conv_w" in p:
+        idn = _avgpool(x, stride) if stride > 1 else x
+        idn = _bn(_conv(idn, p["down_conv_w"]), p["down_bn"])
+    else:
+        idn = x
+    return jax.nn.relu(out + idn)
+
+
+def attnpool(x, p, n_heads):
+    """AttentionPool2d: mean-query cross attention (CLIP model.py semantics)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h * w, c)
+    x = jnp.concatenate([x.mean(1, keepdims=True), x], axis=1)
+    x = x + p["pos_emb"].astype(x.dtype)
+    q = x[:, :1] @ p["q_w"].astype(x.dtype) + p["q_b"].astype(x.dtype)
+    k = x @ p["k_w"].astype(x.dtype) + p["k_b"].astype(x.dtype)
+    v = x @ p["v_w"].astype(x.dtype) + p["v_b"].astype(x.dtype)
+    hd = c // n_heads
+    q = q.reshape(b, 1, n_heads, hd)
+    k = k.reshape(b, -1, n_heads, hd)
+    v = v.reshape(b, -1, n_heads, hd)
+    o = jax.nn.dot_product_attention(q, k, v).reshape(b, 1, c)
+    o = o @ p["c_w"].astype(x.dtype) + p["c_b"].astype(x.dtype)
+    return o[:, 0]
+
+
+def resnet_encode(params, cfg: CLIPConfig, x, dtype=jnp.float32):
+    x = x.astype(dtype).transpose(0, 2, 3, 1)  # NCHW -> NHWC
+    st = params["stem"]
+    x = jax.nn.relu(_bn(_conv(x, st["conv1_w"], stride=2), st["bn1"]))
+    x = jax.nn.relu(_bn(_conv(x, st["conv2_w"]), st["bn2"]))
+    x = jax.nn.relu(_bn(_conv(x, st["conv3_w"]), st["bn3"]))
+    x = _avgpool(x, 2)
+    for i, stage in enumerate(params["layers"]):
+        for j, blk in enumerate(stage):
+            stride = 2 if (i > 0 and j == 0) else 1
+            x = bottleneck(x, blk, stride)
+    return attnpool(x, params["attnpool"], cfg.vision_heads)
+
+
+# ------------------------------------------------------------------ text
+
+def text_encode_fn(params, cfg: CLIPConfig, tokens, dtype=jnp.float32):
+    t = params["text"]
+    x = t["token_embedding"][tokens].astype(dtype)
+    x = x + t["positional_embedding"].astype(dtype)
+    n = cfg.context_length
+    mask = jnp.tril(jnp.ones((n, n), dtype=bool))[None, None]
+    x = transformer(x, t["blocks"], cfg.transformer_heads, mask=mask)
+    x = layer_norm(x, t["ln_final"])
+    eot = jnp.argmax(tokens, axis=-1)
+    x = x[jnp.arange(x.shape[0]), eot]
+    return x @ t["text_projection"].astype(dtype)
+
+
+# ------------------------------------------------------------------ public API
+
+def encode_image(params, cfg: CLIPConfig, images, dtype=jnp.float32):
+    """images: NCHW, already CLIP-normalized. Returns [N, embed_dim]."""
+    if cfg.is_vit:
+        return vit_encode(params["visual"], cfg, images, dtype)
+    return resnet_encode(params["visual"], cfg, images, dtype)
+
+
+def encode_text(params, cfg: CLIPConfig, tokens, dtype=jnp.float32):
+    """tokens: int32 [N, context_length]."""
+    return text_encode_fn(params, cfg, tokens, dtype)
+
+
+# ------------------------------------------------------------------ init
+
+def _ln_init(d):
+    return {"g": jnp.ones((d,), jnp.float32), "b": jnp.zeros((d,), jnp.float32)}
+
+
+def _block_init(key, d, mlp_ratio=4):
+    ks = jax.random.split(key, 4)
+    attn_std = d ** -0.5
+    fc_std = (2 * d) ** -0.5
+    proj_std = attn_std  # per-layer depth scaling omitted for random fallback
+    return {
+        "ln_1": _ln_init(d),
+        "attn": {
+            "in_w": attn_std * jax.random.normal(ks[0], (d, 3 * d)),
+            "in_b": jnp.zeros((3 * d,)),
+            "out_w": proj_std * jax.random.normal(ks[1], (d, d)),
+            "out_b": jnp.zeros((d,)),
+        },
+        "ln_2": _ln_init(d),
+        "mlp": {
+            "fc_w": fc_std * jax.random.normal(ks[2], (d, mlp_ratio * d)),
+            "fc_b": jnp.zeros((mlp_ratio * d,)),
+            "proj_w": proj_std * jax.random.normal(ks[3], (mlp_ratio * d, d)),
+            "proj_b": jnp.zeros((d,)),
+        },
+    }
+
+
+def _bn_init(d):
+    return {"g": jnp.ones((d,)), "b": jnp.zeros((d,)),
+            "m": jnp.zeros((d,)), "v": jnp.ones((d,))}
+
+
+def _conv_init(key, kh, kw, cin, cout):
+    fan_in = kh * kw * cin
+    return jax.random.normal(key, (kh, kw, cin, cout)) * np.sqrt(2.0 / fan_in)
+
+
+def _vit_visual_init(key, cfg: CLIPConfig):
+    d, p = cfg.vision_width, cfg.vision_patch_size
+    g = cfg.image_resolution // p
+    ks = jax.random.split(key, cfg.vision_layers + 4)
+    scale = d ** -0.5
+    return {
+        "conv": scale * jax.random.normal(ks[0], (3 * p * p, d)),
+        "class_emb": scale * jax.random.normal(ks[1], (d,)),
+        "pos_emb": scale * jax.random.normal(ks[2], (g * g + 1, d)),
+        "ln_pre": _ln_init(d),
+        "blocks": [_block_init(ks[3 + i], d) for i in range(cfg.vision_layers)],
+        "ln_post": _ln_init(d),
+        "proj": scale * jax.random.normal(ks[-1], (d, cfg.embed_dim)),
+    }
+
+
+def _resnet_visual_init(key, cfg: CLIPConfig):
+    w = cfg.vision_width
+    blocks_per = cfg.vision_layers
+    keys = iter(jax.random.split(key, 4 + sum(blocks_per) * 4 + 8))
+    stem = {
+        "conv1_w": _conv_init(next(keys), 3, 3, 3, w // 2), "bn1": _bn_init(w // 2),
+        "conv2_w": _conv_init(next(keys), 3, 3, w // 2, w // 2), "bn2": _bn_init(w // 2),
+        "conv3_w": _conv_init(next(keys), 3, 3, w // 2, w), "bn3": _bn_init(w),
+    }
+    layers = []
+    inplanes = w
+    for i, nb in enumerate(blocks_per):
+        planes = w * (2 ** i)
+        stage = []
+        for j in range(nb):
+            blk = {
+                "conv1_w": _conv_init(next(keys), 1, 1, inplanes, planes),
+                "bn1": _bn_init(planes),
+                "conv2_w": _conv_init(next(keys), 3, 3, planes, planes),
+                "bn2": _bn_init(planes),
+                "conv3_w": _conv_init(next(keys), 1, 1, planes, planes * 4),
+                "bn3": _bn_init(planes * 4),
+            }
+            if j == 0 and (i > 0 or inplanes != planes * 4):
+                blk["down_conv_w"] = _conv_init(next(keys), 1, 1, inplanes, planes * 4)
+                blk["down_bn"] = _bn_init(planes * 4)
+            stage.append(blk)
+            inplanes = planes * 4
+        layers.append(stage)
+    embed = w * 32
+    spacial = cfg.image_resolution // 32
+    scale = embed ** -0.5
+    attnp = {
+        "pos_emb": scale * jax.random.normal(next(keys), (spacial * spacial + 1, embed)),
+        "q_w": scale * jax.random.normal(next(keys), (embed, embed)), "q_b": jnp.zeros((embed,)),
+        "k_w": scale * jax.random.normal(next(keys), (embed, embed)), "k_b": jnp.zeros((embed,)),
+        "v_w": scale * jax.random.normal(next(keys), (embed, embed)), "v_b": jnp.zeros((embed,)),
+        "c_w": scale * jax.random.normal(next(keys), (embed, cfg.embed_dim)),
+        "c_b": jnp.zeros((cfg.embed_dim,)),
+    }
+    return {"stem": stem, "layers": layers, "attnpool": attnp}
+
+
+def clip_init(key: jax.Array, cfg: CLIPConfig):
+    """Random-weight CLIP with the exact architecture shapes (hermetic
+    fallback when no OpenAI checkpoint is available; same FLOPs for bench)."""
+    kv, kt, ke, kp = jax.random.split(key, 4)
+    tw = cfg.transformer_width
+    tkeys = jax.random.split(kt, cfg.transformer_layers)
+    visual = (_vit_visual_init(kv, cfg) if cfg.is_vit
+              else _resnet_visual_init(kv, cfg))
+    text = {
+        "token_embedding": 0.02 * jax.random.normal(ke, (cfg.vocab_size, tw)),
+        "positional_embedding": 0.01 * jax.random.normal(kp, (cfg.context_length, tw)),
+        "blocks": [_block_init(k, tw) for k in tkeys],
+        "ln_final": _ln_init(tw),
+        "text_projection": tw ** -0.5 * jax.random.normal(kp, (tw, cfg.embed_dim)),
+    }
+    return {"visual": visual, "text": text,
+            "logit_scale": jnp.asarray(np.log(1 / 0.07), jnp.float32)}
+
+
+def load_clip(name: str, weights_path: str | None = None, key=None):
+    """Load a CLIP model: (params, cfg).
+
+    `weights_path` may point to an OpenAI checkpoint (.pt, jit archive or
+    state_dict) — converted via models/clip/convert.py.  Without weights a
+    random init is returned (shapes/FLOPs identical).
+    """
+    cfg = CLIP_CONFIGS[name]
+    if weights_path is not None:
+        from aphantasia_tpu.models.clip.convert import convert_openai_checkpoint
+        return convert_openai_checkpoint(weights_path), cfg
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    return clip_init(key, cfg), cfg
+
+
+def input_resolution(name: str) -> int:
+    """CLIP input size, with the reference's fallbacks (clip_fft.py:120-123)."""
+    if name in CLIP_CONFIGS:
+        return CLIP_CONFIGS[name].image_resolution
+    return 288 if name == "RN50x4" else 384 if name == "RN50x16" else 224

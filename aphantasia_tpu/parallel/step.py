@@ -1,0 +1,171 @@
+"""The fused training step: decode -> cutouts -> augment -> CLIP -> loss ->
+grad -> optimizer update, as ONE jitted XLA program.
+
+This replaces the reference's per-step closure chain (clip_fft.py:235-306
+`train`, illustra.py:216-263, illustrip.py:426-470) — in torch each step is
+dozens of kernel launches and a Python-side autograd walk; here the whole
+step (including the Adam update) compiles once and reruns from device memory.
+
+Loss-term parity (clip_fft.py:254-295):
+  prompt groups    sign * wt * sim_func(enc, out_enc)   (topic/style/subtract
+                   /image unified as (embs, weights, coeff) groups)
+  aesthetic        -0.001 * aest * head(out_enc).mean()
+  sync (LPIPS)     prog_sync * sync * lpips(half(img), img_in)
+  sharpness        -sharp * derivat(img, mode)
+  enforce          -enforce * sim(out_enc, second-pass enc)
+  expand           +expand * sim(out_enc, prev_enc), gated to step > 0
+  noise            spectrum-shift noise injected into decode
+  RGB anchors      brightness/contrast pin (illustrip.py:438-440)
+
+Multi-chip: when a mesh is given, cutouts/encodings carry 'data'-axis
+sharding constraints; XLA's SPMD partitioner emits the ICI psum for the
+gradient reduction (generator params stay replicated).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from aphantasia_tpu.ops.augs import get_transform
+from aphantasia_tpu.ops.losses import sim_func, derivat, aesthetic_apply
+from aphantasia_tpu.ops.resize import resize_bicubic
+from aphantasia_tpu.models.clip.model import encode_image
+from aphantasia_tpu.models.lpips import lpips_apply
+
+
+@dataclasses.dataclass(frozen=True)
+class StepSettings:
+    """Static (compile-time) loss/step configuration."""
+    sim: str = "mix"
+    sharp: float = 0.0
+    sharp_mode: str = "naiv"
+    aest: float = 0.0
+    enforce: float = 0.0
+    expand: float = 0.0
+    noise: float = 0.0
+    noise_centered: bool = False   # clip_fft uses rand; illustra/trip rand-0.5
+    sync: float = 0.0
+    total_steps: int = 200         # prog_sync denominator
+    rgb_anchors: bool = False
+    transform: str = "fast"
+    clip_dtype: Any = jnp.float32
+
+
+def _noise_shift(key, settings: StepSettings, param_shape):
+    """Spectrum-shift noise (clip_fft.py:238 / illustrip.py:429)."""
+    if settings.noise <= 0:
+        return None
+    h, wf = param_shape[2], param_shape[3]
+    u = jax.random.uniform(key, (1, 1, h, wf, 1))
+    if settings.noise_centered:
+        u = u - 0.5
+    return settings.noise * u
+
+
+def build_loss_fn(parameterizer, sampler, clip_cfg, settings: StepSettings,
+                  mesh=None):
+    """Returns loss_fn(gen_params, clip_params, aest_params, lpips_bundle,
+    prompts, prev_enc, key, step_i) -> (loss, out_enc_mean)."""
+    transform = get_transform(settings.transform)
+
+    def maybe_shard(x):
+        if mesh is not None:
+            from aphantasia_tpu.parallel.mesh import shard_batch
+            return shard_batch(x, mesh)
+        return x
+
+    def encode_cuts(clip_params, key, img):
+        k_box, k_tf = jax.random.split(key)
+        boxes = sampler.sample_boxes(k_box)
+        cuts = sampler.cut(img, boxes, compute_dtype=settings.clip_dtype)
+        cuts = maybe_shard(cuts)
+        cuts = transform(k_tf, cuts)
+        enc = encode_image(clip_params, clip_cfg, cuts, dtype=settings.clip_dtype)
+        return maybe_shard(enc).astype(jnp.float32)
+
+    def loss_fn(gen_params, clip_params, aest_params, lpips_bundle,
+                prompts, prev_enc, key, step_i):
+        k_noise, k_s1, k_s2 = jax.random.split(key, 3)
+        shift = (_noise_shift(k_noise, settings, gen_params.shape)
+                 if (settings.noise > 0 and hasattr(gen_params, "shape")) else None)
+        img = parameterizer.image(gen_params, shift=shift)
+
+        out_enc = encode_cuts(clip_params, k_s1, img)
+        loss = jnp.float32(0.0)
+
+        if settings.aest != 0 and aest_params is not None:
+            loss = loss - 0.001 * settings.aest * jnp.mean(
+                aesthetic_apply(aest_params, out_enc))
+
+        for embs, wts, coeff in prompts:
+            k = embs.shape[0]
+            group = jnp.float32(0.0)
+            for j in range(k):
+                group = group + wts[j] * sim_func(embs[j:j + 1], out_enc, settings.sim)
+            loss = loss + coeff * group
+
+        if settings.sync > 0 and lpips_bundle is not None:
+            lpips_params, img_in = lpips_bundle           # img_in: half-res target
+            sim_size = img_in.shape[-2:]
+            prog = (settings.total_steps - step_i) / settings.total_steps
+            half = resize_bicubic(img, sim_size)
+            loss = loss + prog * settings.sync * jnp.mean(
+                lpips_apply(lpips_params, half, img_in, normalize=True))
+
+        if settings.sharp != 0:
+            loss = loss - settings.sharp * derivat(img, mode=settings.sharp_mode)
+
+        if settings.rgb_anchors:
+            # illustrip.py:438-440 empirical brightness/contrast pins
+            loss = loss + jnp.mean(jnp.abs(img.mean(axis=(2, 3)) - 0.45))
+            loss = loss + jnp.mean(jnp.abs(img.std(axis=(2, 3), ddof=1) - 0.17))
+
+        if settings.enforce != 0:
+            enc2 = encode_cuts(clip_params, k_s2, img)
+            loss = loss - settings.enforce * sim_func(out_enc, enc2, settings.sim)
+
+        if settings.expand > 0:
+            gate = (step_i > 0).astype(jnp.float32)
+            loss = loss + gate * settings.expand * sim_func(out_enc, prev_enc,
+                                                            settings.sim)
+
+        return loss, jax.lax.stop_gradient(out_enc)
+
+    return loss_fn
+
+
+def build_train_step(parameterizer, sampler, clip_cfg, settings: StepSettings,
+                     optimizer: optax.GradientTransformation, mesh=None,
+                     jit: bool = True):
+    """Returns train_step(gen_params, opt_state, prev_enc, clip_params,
+    aest_params, lpips_bundle, prompts, key, step_i)
+    -> (gen_params, opt_state, prev_enc, loss)."""
+    loss_fn = build_loss_fn(parameterizer, sampler, clip_cfg, settings, mesh)
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def train_step(gen_params, opt_state, prev_enc, clip_params, aest_params,
+                   lpips_bundle, prompts, key, step_i):
+        (loss, out_enc), grads = grad_fn(
+            gen_params, clip_params, aest_params, lpips_bundle, prompts,
+            prev_enc, key, step_i)
+        updates, opt_state = optimizer.update(grads, opt_state, gen_params)
+        gen_params = optax.apply_updates(gen_params, updates)
+        return gen_params, opt_state, out_enc, loss
+
+    if jit:
+        train_step = jax.jit(train_step, donate_argnums=(0, 1, 2))
+    return train_step
+
+
+def build_render(parameterizer, jit: bool = True):
+    """Frame renderer: params -> [H,W,3] float in [0,1] (tone mapping is
+    applied host-side, utils.py:94-100 + clip_fft.py:300-304)."""
+    def render(gen_params, contrast=1.0):
+        img = parameterizer.image(gen_params, contrast=contrast)
+        return jnp.clip(img[0].transpose(1, 2, 0), 0.0, 1.0)
+    return jax.jit(render) if jit else render
