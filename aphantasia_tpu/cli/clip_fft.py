@@ -1,0 +1,269 @@
+"""clip_fft — single-image CLIP-guided generation (FFT / DWT parameterizers).
+
+Flag-compatible rebuild of the reference entry point (clip_fft.py:35-318):
+same argument names, defaults and post-parse interactions (size parsing,
+sync/resume -> overscan, dualmod -> ViT-B/32+cossim), the xmem sample-budget
+cascade, prompt weighting, dual-model alternation, tone mapping and
+.pt snapshots — running the fused jitted TPU step from parallel/step.py.
+
+TPU-specific additions (not in the reference): --clip_weights (path to an
+OpenAI/HF checkpoint; random-init fallback otherwise), --precision
+(bf16|fp32|auto), --seed.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from aphantasia_tpu.params.fft import FFTParameterizer, resume_fft
+from aphantasia_tpu.params.dwt import DWTParameterizer, resume_dwt
+from aphantasia_tpu.ops.sampler import CutoutSampler
+from aphantasia_tpu.ops.optim import build_optimizer
+from aphantasia_tpu.ops.losses import aesthetic_init, aesthetic_load, aesthetic_dims
+from aphantasia_tpu.models.lpips import lpips_init
+from aphantasia_tpu.parallel.step import StepSettings, build_train_step, build_render
+from aphantasia_tpu.cli.common import (
+    ClipWrapper, parse_size, apply_sample_budget, build_prompt_groups,
+    dualmod_steps, maybe_translate, resolve_dtype)
+from aphantasia_tpu.io.media import img_read, checkout, img_list, frames_to_video
+from aphantasia_tpu.io.checkpoint import save_pt
+from aphantasia_tpu.ops.resize import resize_bicubic
+from aphantasia_tpu.utils import txt_clean, save_cfg
+from aphantasia_tpu.progress import get_progress_bar
+
+CLIP_MODELS = ["ViT-B/16", "ViT-B/32", "RN101", "RN50x16", "RN50x4", "RN50"]
+
+
+def get_args(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument('-t',  '--in_txt',  default=None, help='input text')
+    parser.add_argument('-t2', '--in_txt2', default=None, help='input text - style')
+    parser.add_argument('-t0', '--in_txt0', default=None, help='input text to subtract')
+    parser.add_argument('-i',  '--in_img',  default=None, help='input image')
+    parser.add_argument('-wi', '--weight_img', default=0.5, type=float, help='weight for images')
+    parser.add_argument('--out_dir', default='_out')
+    parser.add_argument('-s',  '--size',    default='1280-720', help='Output resolution')
+    parser.add_argument('-r',  '--resume',  default=None, help='Path to saved FFT snapshots, to resume from')
+    parser.add_argument('-ops', '--opt_step', default=1, type=int, help='How many optimizing steps per save step')
+    parser.add_argument('-tr', '--translate', action='store_true', help='Translate text with Google Translate')
+    parser.add_argument('--save_pt', action='store_true', help='Save FFT snapshots for further use')
+    parser.add_argument('-v',  '--verbose',    dest='verbose', action='store_true')
+    parser.add_argument('-nv', '--no-verbose', dest='verbose', action='store_false')
+    parser.set_defaults(verbose=True)
+    # training
+    parser.add_argument('-m',  '--model',   default='ViT-B/32', choices=CLIP_MODELS, help='Select CLIP model to use')
+    parser.add_argument('--steps',   default=200, type=int, help='Total iterations')
+    parser.add_argument('--samples', default=200, type=int, help='Samples to evaluate')
+    parser.add_argument('-lr', '--lrate',   default=0.05, type=float, help='Learning rate')
+    parser.add_argument('-p',  '--prog',    action='store_true', help='Enable progressive lrate growth (up to double a.lrate)')
+    parser.add_argument('-dm', '--dualmod', default=None, type=int, help='Every this step use another CLIP ViT model')
+    # wavelet
+    parser.add_argument('--dwt',     action='store_true', help='Use DWT instead of FFT')
+    parser.add_argument('-w',  '--wave',    default='coif2', help='wavelets: db[1..], coif[1..], haar, dmey')
+    # tweaks
+    parser.add_argument('-a',  '--align',   default='uniform', choices=['central', 'uniform', 'overscan', 'overmax'], help='Sampling distribution')
+    parser.add_argument('-tf', '--transform', default='fast', choices=['none', 'fast', 'custom', 'elastic'], help='augmenting transforms')
+    parser.add_argument('-opt', '--optimizer', default='adam_custom', choices=['adam', 'adamw', 'adam_custom', 'adamw_custom'], help='Optimizer')
+    parser.add_argument('--contrast', default=1.1, type=float)
+    parser.add_argument('--colors',  default=1.8, type=float)
+    parser.add_argument('--decay',   default=1.5, type=float)
+    parser.add_argument('-sh', '--sharp',   default=0., type=float)
+    parser.add_argument('-mm', '--macro',   default=0.4, type=float, help='Endorse macro forms 0..1 ')
+    parser.add_argument('--aest',    default=0., type=float, help='Enhance aesthetics')
+    parser.add_argument('-e',  '--enforce', default=0, type=float, help='Enforce details')
+    parser.add_argument('-x',  '--expand',  default=0, type=float, help='Boosts diversity')
+    parser.add_argument('-n',  '--noise',   default=0, type=float, help='Add noise to suppress accumulation')
+    parser.add_argument('-c',  '--sync',    default=0, type=float, help='Sync output to input image')
+    parser.add_argument('--invert',  action='store_true', help='Invert criteria')
+    parser.add_argument('--sim',     default='mix', help='Similarity function (dot/angular/spherical/mixed; None = cossim)')
+    # TPU-specific
+    parser.add_argument('--clip_weights', default=None, help='Path to CLIP checkpoint (OpenAI .pt or HF); random init if absent')
+    parser.add_argument('--aest_weights', default=None, help='Path to LAION aesthetic head checkpoint')
+    parser.add_argument('--precision', default='auto', choices=['auto', 'bf16', 'fp32'])
+    parser.add_argument('--seed', default=0, type=int)
+    a = parser.parse_args(argv)
+
+    if a.size is not None:
+        a.size = parse_size(a.size)
+    if (a.in_img is not None and a.sync != 0) or a.resume is not None:
+        a.align = 'overscan'
+    if a.dualmod is not None:
+        a.model = 'ViT-B/32'
+        a.sim = 'cossim'
+    return a
+
+
+def main(argv=None):
+    a = get_args(argv)
+    run(a)
+
+
+def run(a):
+    key = jax.random.PRNGKey(a.seed)
+    key, k_init, k_clip, k_img = jax.random.split(key, 4)
+    dtype = resolve_dtype(a.precision)
+
+    # ---- parameterizer ----------------------------------------------------
+    shape = [1, 3, *a.size]
+    if a.dwt:
+        gen_params, sz = resume_dwt(a.resume, a.size, a.wave, a.colors, key=k_init)
+        if sz is not None:
+            a.size = list(sz)
+        par = DWTParameterizer(tuple(a.size), a.wave, 0.3, a.colors)
+    else:
+        gen_params, sz = resume_fft(a.resume, shape, a.decay, sd=0.07, key=k_init)
+        if sz is not None:
+            a.size = list(sz)
+        par = FFTParameterizer(tuple(a.size), a.decay, a.colors)
+        gen_params = jnp.asarray(np.asarray(gen_params, np.float32))
+
+    # ---- CLIP model(s) ----------------------------------------------------
+    clip1 = ClipWrapper(a.model, a.clip_weights, key=k_clip)
+    a.modsize = clip1.modsize
+    if a.verbose:
+        print(' using model', a.model)
+    clip2 = None
+    if a.dualmod is not None:
+        clip2 = ClipWrapper('ViT-B/16', a.clip_weights, key=k_clip)
+        print(' dual model every %d step' % a.dualmod)
+
+    extra = (a.in_txt2 is not None) + (a.in_txt0 is not None)
+    a.samples = apply_sample_budget(
+        a.samples, a.model, a.dualmod, a.enforce, a.sync, a.transform, extra)
+
+    # ---- aesthetic head ---------------------------------------------------
+    aest = aest2 = None
+    if a.aest != 0 and aesthetic_dims(a.model):
+        aest = (aesthetic_load(a.aest_weights) if a.aest_weights
+                else aesthetic_init(jax.random.PRNGKey(7), a.model))
+        if a.dualmod is not None:
+            aest2 = aesthetic_init(jax.random.PRNGKey(8), 'ViT-B/16')
+
+    # ---- prompts ----------------------------------------------------------
+    sign = 1.0 if a.invert else -1.0
+    out_name = []
+
+    def groups_for(clip):
+        groups = []
+        if a.in_txt is not None:
+            txt = maybe_translate(a.in_txt, a.translate, a.verbose)
+            embs, wts = clip.enc_text(txt)
+            groups.append((embs, wts, sign))
+        if a.in_txt2 is not None:
+            txt = maybe_translate(a.in_txt2, a.translate, a.verbose)
+            embs, wts = clip.enc_text(txt)
+            groups.append((embs, wts, sign))
+        if a.in_txt0 is not None:
+            txt = maybe_translate(a.in_txt0, a.translate, a.verbose)
+            embs, wts = clip.enc_text(txt)
+            groups.append((embs, wts, -sign))
+        return groups
+
+    groups1 = groups_for(clip1)
+    groups2 = groups_for(clip2) if clip2 else None
+    if a.in_txt is not None:
+        out_name.append(txt_clean(a.in_txt).lower()[:40])
+        if a.verbose:
+            print(' topic text:', a.in_txt)
+    if a.in_txt2 is not None:
+        out_name.append(txt_clean(a.in_txt2).lower()[:40])
+    if a.in_txt0 is not None:
+        out_name.append('off-' + txt_clean(a.in_txt0).lower()[:40])
+
+    # ---- reference image / LPIPS sync ------------------------------------
+    lpips_bundle = None
+    if a.in_img is not None and os.path.isfile(a.in_img):
+        img_np = img_read(a.in_img)
+        emb, img_t = clip1.enc_image_sliced(img_np, a.samples, a.align, k_img)
+        groups1.append((emb, jnp.ones((emb.shape[0],)) / emb.shape[0],
+                        sign * a.weight_img))
+        if clip2:
+            emb2, _ = clip2.enc_image_sliced(img_np, a.samples, a.align, k_img)
+            groups2.append((emb2, jnp.ones((emb2.shape[0],)) / emb2.shape[0],
+                            sign * a.weight_img))
+        if a.sync > 0:
+            sim_size = [s // 2 for s in a.size]
+            img_in = resize_bicubic(img_t, sim_size)
+            lpips_params = lpips_init(jax.random.PRNGKey(9))
+            lpips_bundle = (lpips_params, img_in)
+        out_name.append(os.path.splitext(os.path.basename(a.in_img))[0]
+                        .replace(' ', '_'))
+
+    assert groups1, ' Loss not defined, check the inputs'
+    if a.verbose:
+        print(' samples:', a.samples)
+
+    prompts1 = build_prompt_groups(groups1)
+    prompts2 = build_prompt_groups(groups2) if groups2 else None
+
+    # ---- step functions ---------------------------------------------------
+    sampler = CutoutSampler(tuple(a.size), a.samples, a.modsize, a.align, a.macro)
+    optimizer = build_optimizer(a.optimizer, a.lrate, a.steps, a.prog)
+    settings = StepSettings(
+        sim=a.sim or 'cossim', sharp=a.sharp if not a.dwt else 0.0,
+        sharp_mode='naiv', aest=a.aest, enforce=a.enforce, expand=a.expand,
+        noise=a.noise, noise_centered=False, sync=a.sync,
+        total_steps=max(a.steps // a.opt_step, 1), transform=a.transform,
+        clip_dtype=dtype)
+    step1 = build_train_step(par, sampler, clip1.cfg, settings, optimizer)
+    step2 = (build_train_step(par, sampler, clip2.cfg, settings, optimizer)
+             if clip2 else None)
+    render = build_render(par)
+    dm_nums = dualmod_steps(a.steps, a.dualmod) if a.dualmod else set()
+
+    # ---- output dirs ------------------------------------------------------
+    out_name = '-'.join(out_name) or 'out'
+    out_name += ('-%s' % a.model.replace('/', '').replace('-', '')
+                 if a.dualmod is None else '-dm%d' % a.dualmod)
+    tempdir = os.path.join(a.out_dir, out_name)
+    os.makedirs(tempdir, exist_ok=True)
+    save_cfg(a, tempdir, 'config.txt')
+
+    # ---- training loop ----------------------------------------------------
+    opt_state = optimizer.init(gen_params)
+    prev_enc = jnp.zeros((a.samples, clip1.cfg.embed_dim))
+    pbar = get_progress_bar()(a.steps // a.opt_step)
+    for i in range(a.steps):
+        key, k_step = jax.random.split(key)
+        use2 = clip2 is not None and i in dm_nums
+        step = step2 if use2 else step1
+        clip_w = clip2.params if use2 else clip1.params
+        aest_w = aest2 if use2 else aest
+        prompts = prompts2 if use2 else prompts1
+        gen_params, opt_state, prev_enc, loss = step(
+            gen_params, opt_state, prev_enc, clip_w, aest_w, lpips_bundle,
+            prompts, k_step, jnp.int32(i // a.opt_step))
+
+        if i % a.opt_step == 0:
+            img = np.asarray(render(gen_params, contrast=a.contrast))
+            # empirical tone mapping (clip_fft.py:300-304)
+            if a.sync > 0 and a.in_img is not None:
+                img = img ** 1.3
+            elif a.sharp != 0:
+                img = img ** (1 + a.sharp / 2.0)
+            checkout(np.transpose(img, (2, 0, 1)),
+                     os.path.join(tempdir, '%04d.jpg' % (i // a.opt_step)),
+                     verbose=a.verbose)
+            pbar.upd()
+
+    # ---- assembly ---------------------------------------------------------
+    frames_to_video(tempdir, os.path.join(a.out_dir, f'{out_name}.mp4'))
+    frames = img_list(tempdir)
+    if frames:
+        shutil.copy(frames[-1],
+                    os.path.join(a.out_dir, '%s-%d.jpg' % (out_name, a.steps)))
+    if a.save_pt:
+        # params LIST for byte-parity with the reference (clip_fft.py:315)
+        obj = ([np.asarray(gen_params)] if not a.dwt
+               else [np.asarray(p) for p in gen_params])
+        save_pt('%s.pt' % os.path.join(a.out_dir, out_name), obj)
+    return gen_params
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,130 @@
+"""Shared CLI plumbing: prompt encoding, sample-budget cascade, model setup.
+
+Parity targets: the per-script closures the reference repeats in
+clip_fft.py/illustra.py/illustrip.py/cppn.py (enc_text, xmem budget,
+transform selection) — centralized here once.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from aphantasia_tpu.models.clip.model import (
+    CLIP_CONFIGS, XMEM, load_clip, encode_text, encode_image, input_resolution)
+from aphantasia_tpu.models.clip.tokenizer import tokenize
+from aphantasia_tpu.params.color import clip_normalize
+from aphantasia_tpu.ops.sampler import CutoutSampler
+
+
+def parse_size(size_str):
+    """'1280-720' -> [720, 1280] (reference clip_fft.py:80-81)."""
+    size = [int(s) for s in size_str.split("-")][::-1]
+    if len(size) == 1:
+        size = size * 2
+    return size
+
+
+def default_dtype():
+    """bf16 on TPU, fp32 elsewhere."""
+    return jnp.bfloat16 if jax.devices()[0].platform in ("tpu", "axon") else jnp.float32
+
+
+def resolve_dtype(name: str):
+    return {"bf16": jnp.bfloat16, "bfloat16": jnp.bfloat16,
+            "fp32": jnp.float32, "float32": jnp.float32,
+            "auto": default_dtype()}[name]
+
+
+class ClipWrapper:
+    """A loaded CLIP model + its text/image encode conveniences."""
+
+    def __init__(self, name: str, weights: str | None = None, key=None):
+        self.name = name
+        self.params, self.cfg = load_clip(name, weights, key=key)
+        self.modsize = input_resolution(name)
+
+    def enc_text(self, txt: str):
+        """Prompt syntax `txt :w | txt2 :w2` -> (embs [K,D], weights [K])
+        (reference clip_fft.py:143-154)."""
+        embs, wts = [], []
+        for subtxt in txt.split("|"):
+            if ":" in subtxt:
+                subtxt, wt = subtxt.split(":")
+                wt = float(wt)
+            else:
+                wt = 1.0
+            toks = tokenize(subtxt, context_length=self.cfg.context_length)
+            emb = encode_text(self.params, self.cfg, jnp.asarray(toks))
+            embs.append(np.asarray(emb)[0])
+            wts.append(wt)
+        return jnp.asarray(np.stack(embs)), jnp.asarray(wts, jnp.float32)
+
+    def enc_image_sliced(self, img_np, samples, align, key):
+        """Encode a reference image through the cutout sampler
+        (clip_fft.py:211-218)."""
+        img = jnp.asarray(img_np / 255.0, jnp.float32)
+        img = jnp.transpose(img, (2, 0, 1))[None][:, :3]
+        hw = img.shape[-2:]
+        sampler = CutoutSampler(tuple(hw), samples, self.modsize, align)
+        cuts = sampler(key, img)
+        cuts = clip_normalize(cuts)
+        emb = encode_image(self.params, self.cfg, cuts)
+        return jnp.asarray(emb), img
+
+
+def apply_sample_budget(samples: int, model: str, dualmod=None,
+                        enforce: float = 0, sync: float = 0,
+                        transform: str = "fast",
+                        extra_prompts: int = 0) -> int:
+    """The constant-memory sample multiplier cascade
+    (clip_fft.py:125-127,134,156-169,187,199)."""
+    if model in XMEM:
+        samples = int(samples * XMEM[model])
+    if dualmod is not None:
+        samples = int(samples * 0.23)
+    if enforce != 0:
+        samples = int(samples * 0.5)
+    if sync > 0:
+        samples = int(samples * 0.5)
+    if transform in ("elastic", "custom", "fast"):
+        samples = int(samples * 0.95)
+    for _ in range(extra_prompts):
+        samples = int(samples * 0.75)
+    return max(samples, 1)
+
+
+def build_prompt_groups(groups):
+    """[(embs, wts, coeff)] with numpy->jnp conversion; skips Nones."""
+    out = []
+    for g in groups:
+        if g is None:
+            continue
+        embs, wts, coeff = g
+        out.append((jnp.asarray(embs), jnp.asarray(wts),
+                    jnp.asarray(coeff, jnp.float32)))
+    return tuple(out)
+
+
+def dualmod_steps(steps: int, dualmod: int):
+    """Step indices handled by the second model (clip_fft.py:135)."""
+    return set(list(range(steps))[dualmod::dualmod])
+
+
+def maybe_translate(texts, enabled: bool, verbose=True):
+    """--translate needs googletrans; unavailable here -> warn & passthrough
+    (the reference exits, clip_fft.py:84-85; we degrade gracefully)."""
+    if not enabled:
+        return texts
+    try:
+        from googletrans import Translator
+        tr = Translator()
+        if isinstance(texts, str):
+            return tr.translate(texts, dest="en").text
+        return [t.text for t in tr.translate(texts)]
+    except ImportError:
+        if verbose:
+            print(" googletrans not installed; skipping translation")
+        return texts

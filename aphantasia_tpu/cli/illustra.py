@@ -1,0 +1,285 @@
+"""illustra — per-line images + FFT-space crossfade video.
+
+Rebuild of reference illustra.py:29-342: one scene per text line, each scene
+resuming from `keep * prev/(max-min)` of the previous scene's spectrum with
+optimizer state carried over (illustra.py:271-286), per-scene jpg/mp4/.pt
+outputs, and a final crossfade assembly between consecutive .pt snapshots
+through the decode `shift` argument (illustra.py:313-338).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from aphantasia_tpu.params.fft import FFTParameterizer, resume_fft
+from aphantasia_tpu.ops.sampler import CutoutSampler
+from aphantasia_tpu.ops.optim import build_optimizer
+from aphantasia_tpu.ops.losses import aesthetic_init, aesthetic_load, aesthetic_dims
+from aphantasia_tpu.parallel.step import StepSettings, build_train_step, build_render
+from aphantasia_tpu.cli.common import (
+    ClipWrapper, parse_size, apply_sample_budget, build_prompt_groups,
+    dualmod_steps, maybe_translate, resolve_dtype)
+from aphantasia_tpu.io.media import img_read, img_list, checkout, frames_to_video, file_list, basename
+from aphantasia_tpu.io.checkpoint import save_pt, load_pt
+from aphantasia_tpu.utils import txt_clean, save_cfg, read_text, pick_
+from aphantasia_tpu.progress import get_progress_bar
+
+CLIP_MODELS = ['ViT-B/16', 'ViT-B/32', 'ViT-L/14', 'ViT-L/14@336px',
+               'RN50', 'RN50x4', 'RN50x16', 'RN50x64', 'RN101']
+
+
+def get_args(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument('-s',  '--size',    default='1280-720', help='Output resolution')
+    parser.add_argument('-t',  '--in_txt',  default=None, help='input text or file - main topic')
+    parser.add_argument('-t2', '--in_txt2', default=None, help='input text or file - style')
+    parser.add_argument('-im', '--in_img',  default=None, help='input image or directory with images')
+    parser.add_argument('-r',  '--resume',  default=None, help='Resume from saved params')
+    parser.add_argument('--out_dir', default='_out/fft')
+    parser.add_argument('--save_step', default=1, type=int, help='Save every this step')
+    parser.add_argument('-tr', '--translate', action='store_true')
+    parser.add_argument('-v',  '--verbose',    dest='verbose', action='store_true')
+    parser.add_argument('-nv', '--no-verbose', dest='verbose', action='store_false')
+    parser.set_defaults(verbose=True)
+    # training
+    parser.add_argument('-m',  '--model',   default='ViT-B/32', choices=CLIP_MODELS)
+    parser.add_argument('--steps',   default=150, type=int, help='Iterations per input')
+    parser.add_argument('--samples', default=200, type=int)
+    parser.add_argument('-lr', '--lrate',   default=0.05, type=float)
+    parser.add_argument('-dm', '--dualmod', default=None, type=int)
+    # tweaks
+    parser.add_argument('-opt', '--optimr', default='adam', choices=['adam', 'adamw'])
+    parser.add_argument('-a',  '--align',   default='uniform', choices=['central', 'uniform', 'overscan', 'overmax'])
+    parser.add_argument('-tf', '--transform', default='fast', choices=['none', 'custom', 'fast', 'elastic'])
+    parser.add_argument('--aest',    default=1., type=float)
+    parser.add_argument('--contrast', default=1.1, type=float)
+    parser.add_argument('--colors',  default=1.8, type=float)
+    parser.add_argument('-d',  '--decay',   default=1.5, type=float)
+    parser.add_argument('-sh', '--sharp',   default=0, type=float)
+    parser.add_argument('-mc', '--macro',   default=0.4, type=float)
+    parser.add_argument('-e',  '--enforce', default=0, type=float)
+    parser.add_argument('-n',  '--noise',   default=0, type=float)
+    parser.add_argument('--sim',     default='mix')
+    parser.add_argument('--loop',    action='store_true', help='Loop inputs')
+    parser.add_argument('--save_pt', action='store_true')
+    # multi input
+    parser.add_argument('-l',  '--length',  default=None, type=int, help='Override total length in sec')
+    parser.add_argument('--lsteps',  default=25, type=int, help='Frames per step')
+    parser.add_argument('--fps',     default=25, type=int)
+    parser.add_argument('--keep',    default=1.5, type=float, help='Accumulate imagery: 0 random, 1+ ~prev')
+    parser.add_argument('--separate', action='store_true', help='process inputs separately')
+    # TPU-specific
+    parser.add_argument('--clip_weights', default=None)
+    parser.add_argument('--precision', default='auto', choices=['auto', 'bf16', 'fp32'])
+    parser.add_argument('--seed', default=0, type=int)
+    a = parser.parse_args(argv)
+
+    a.size = parse_size(a.size)
+    if not a.separate:
+        a.save_pt = True
+    if a.dualmod is not None:
+        a.model = 'ViT-B/32'
+        a.sim = 'cossim'
+    return a
+
+
+def main(argv=None):
+    a = get_args(argv)
+    run(a)
+
+
+def run(a):
+    key = jax.random.PRNGKey(a.seed)
+    key, k_clip, k_init = jax.random.split(key, 3)
+    dtype = resolve_dtype(a.precision)
+
+    clip1 = ClipWrapper(a.model, a.clip_weights, key=k_clip)
+    a.modsize = clip1.modsize
+    clip2 = None
+    if a.dualmod is not None:
+        clip2 = ClipWrapper('ViT-B/16', a.clip_weights, key=k_clip)
+        print(' dual model every %d step' % a.dualmod)
+
+    # budget cascade (illustra.py:96-124: bx accumulates, none-transform x1.05)
+    bx = 1.0
+    from aphantasia_tpu.models.clip.model import XMEM
+    if a.model in XMEM:
+        bx *= XMEM[a.model]
+    if a.dualmod is not None:
+        bx *= 0.23
+    if a.transform == 'none':
+        bx *= 1.05
+    bx *= 0.95
+    if a.enforce != 0:
+        bx *= 0.5
+    a.samples = max(int(bx * a.samples), 1)
+
+    aest = aest2 = None
+    if a.aest != 0 and aesthetic_dims(a.model):
+        aest = aesthetic_init(jax.random.PRNGKey(7), a.model)
+        if a.dualmod is not None:
+            aest2 = aesthetic_init(jax.random.PRNGKey(8), 'ViT-B/16')
+
+    # ---- inputs -----------------------------------------------------------
+    texts, styles, img_paths = [], [], []
+    if a.in_img is not None and os.path.exists(a.in_img):
+        img_paths = img_list(a.in_img) if os.path.isdir(a.in_img) else [a.in_img]
+    if a.in_txt is not None:
+        texts = maybe_translate(read_text(a.in_txt), a.translate, a.verbose)
+    if a.in_txt2 is not None:
+        styles = maybe_translate(read_text(a.in_txt2), a.translate, a.verbose)
+
+    def enc_all(clip):
+        txt_encs = [clip.enc_text(t) for t in texts]
+        styl_encs = [clip.enc_text(s) for s in styles]
+        img_encs = []
+        for i, p in enumerate(img_paths):
+            k = jax.random.fold_in(key, 100 + i)
+            emb, _ = clip.enc_image_sliced(img_read(p), a.samples, a.align, k)
+            img_encs.append((emb, jnp.ones((emb.shape[0],)) / emb.shape[0]))
+        return txt_encs, styl_encs, img_encs
+
+    txt1, styl1, imge1 = enc_all(clip1)
+    if clip2:
+        txt2, styl2, imge2 = enc_all(clip2)
+    count = max(len(txt1), len(styl1), len(imge1))
+    assert count > 0, "No inputs found!"
+    if a.verbose:
+        print(' samples:', a.samples)
+
+    sfx = '' if a.dualmod is not None else '-%s' % a.model.replace('/', '').replace('-', '')
+    if a.enforce != 0:
+        sfx += '-e%.2g' % a.enforce
+
+    par = FFTParameterizer(tuple(a.size), a.decay, a.colors)
+    sampler = CutoutSampler(tuple(a.size), a.samples, a.modsize, a.align, a.macro)
+    opt_name = ('adamw_custom' if a.optimr.lower() == 'adamw' else 'adam_custom')
+    optimizer = build_optimizer(opt_name, a.lrate)
+    settings = StepSettings(
+        sim=a.sim or 'cossim', sharp=a.sharp, sharp_mode='naiv', aest=a.aest,
+        enforce=a.enforce, expand=0.0, noise=a.noise, noise_centered=True,
+        total_steps=max(a.steps // a.save_step, 1), transform=a.transform,
+        clip_dtype=dtype)
+    step1 = build_train_step(par, sampler, clip1.cfg, settings, optimizer)
+    step2 = (build_train_step(par, sampler, clip2.cfg, settings, optimizer)
+             if clip2 else None)
+    render = build_render(par)
+    dm_nums = dualmod_steps(a.steps, a.dualmod) if a.dualmod else set()
+
+    def groups_for(num, which):
+        txts, styls, imgs = ((txt2, styl2, imge2) if which == 2
+                             else (txt1, styl1, imge1))
+        groups = []
+        te = pick_(txts, num, a.loop)
+        if te is not None:
+            groups.append((te[0], te[1], -1.0))
+        se = pick_(styls, num, a.loop)
+        if se is not None:
+            groups.append((se[0], se[1], -1.0))
+        ie = pick_(imgs, num, a.loop)
+        if ie is not None:
+            groups.append((ie[0], ie[1], -1.0))
+        return build_prompt_groups(groups)
+
+    workdir = a.out_dir
+    os.makedirs(workdir, exist_ok=True)
+    gen_params = None
+    opt_state = None
+
+    for num in range(count):
+        if num == 0 or a.separate:
+            gen_params, sz = resume_fft(a.resume, [1, 3, *a.size], a.decay,
+                                        sd=0.08, key=jax.random.fold_in(k_init, num))
+            gen_params = jnp.asarray(np.asarray(gen_params, np.float32))
+            opt_state = optimizer.init(gen_params)
+        else:
+            # keep-chaining (illustra.py:271-286): rescale prev params,
+            # carry optimizer state
+            p = np.asarray(gen_params)
+            gen_params = jnp.asarray(a.keep * p / (p.max() - p.min()))
+
+        prompts1 = groups_for(num, 1)
+        prompts2 = groups_for(num, 2) if clip2 else None
+        assert prompts1, ' Loss not defined, check inputs'
+
+        out_names = []
+        if a.resume is not None and num == 0:
+            out_names += [basename(a.resume)[:12]]
+        if texts:
+            out_names += [txt_clean(pick_(texts, num, a.loop))[:32]]
+        if styles:
+            out_names += [txt_clean(pick_(styles, num, a.loop))[:32]]
+        out_name = '-'.join(out_names) + sfx
+        if count > 1:
+            out_name = '%04d-' % (num + 1) + out_name
+        if a.verbose:
+            print(out_name)
+        tempdir = os.path.join(workdir, out_name)
+        os.makedirs(tempdir, exist_ok=True)
+        if num == 0:
+            save_cfg(a, workdir, out_name + '.txt')
+
+        prev_enc = jnp.zeros((a.samples, clip1.cfg.embed_dim))
+        pbar = get_progress_bar()(a.steps // a.save_step)
+        for i in range(a.steps):
+            key, k_step = jax.random.split(key)
+            use2 = clip2 is not None and i in dm_nums
+            step = step2 if use2 else step1
+            clip_w = clip2.params if use2 else clip1.params
+            gen_params, opt_state, prev_enc, loss = step(
+                gen_params, opt_state, prev_enc, clip_w,
+                aest2 if use2 else aest, None,
+                prompts2 if use2 else prompts1, k_step, jnp.int32(i))
+            if i % a.save_step == 0:
+                img = np.asarray(render(gen_params, contrast=a.contrast))
+                checkout(np.transpose(img, (2, 0, 1)),
+                         os.path.join(tempdir, '%04d.jpg' % (i // a.save_step)),
+                         verbose=a.verbose)
+                pbar.upd()
+
+        frames = img_list(tempdir)
+        if frames:
+            shutil.copy(frames[-1], os.path.join(
+                workdir, '%s-%d.jpg' % (out_name, a.steps)))
+        frames_to_video(tempdir, os.path.join(workdir, out_name + '.mp4'),
+                        fps=a.fps)
+        if a.save_pt:
+            # bare tensor for byte-parity (illustra.py:308)
+            save_pt('%s.pt' % os.path.join(workdir, out_name),
+                    np.asarray(gen_params))
+
+    # ---- final crossfade assembly (illustra.py:313-338) -------------------
+    if not a.separate:
+        vsteps = a.lsteps if a.length is None else int(a.length * a.fps / count)
+        tempdir = os.path.join(workdir, '_final')
+        os.makedirs(tempdir, exist_ok=True)
+        if a.verbose:
+            print(' rendering complete piece')
+        ptfiles = file_list(workdir, 'pt')
+        shift_render = jax.jit(lambda p, s: jnp.clip(
+            par.image(p, shift=s, contrast=a.contrast)[0].transpose(1, 2, 0),
+            0.0, 1.0))
+        pbar = get_progress_bar()(vsteps * len(ptfiles))
+        for px in range(len(ptfiles)):
+            p1 = jnp.asarray(np.asarray(load_pt(ptfiles[px]), np.float32))
+            p2 = jnp.asarray(np.asarray(
+                load_pt(ptfiles[(px + 1) % len(ptfiles)]), np.float32))
+            for i in range(vsteps):
+                x = i / vsteps
+                img = np.asarray(shift_render(p1, (p2 - p1) * x))
+                checkout(np.transpose(img, (2, 0, 1)),
+                         os.path.join(tempdir, '%05d.jpg' % (px * vsteps + i)),
+                         verbose=a.verbose)
+                pbar.upd()
+        name = basename(a.in_txt) if a.in_txt else 'final'
+        frames_to_video(tempdir, os.path.join(a.out_dir, name + '.mp4'),
+                        pattern='%05d.jpg', fps=a.fps)
+
+
+if __name__ == '__main__':
+    main()

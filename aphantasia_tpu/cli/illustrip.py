@@ -1,0 +1,410 @@
+"""illustrip — continuous text-to-video with pan/zoom/rotate/shear motion
+and Depth-Anything-V2 3D warp.
+
+Rebuild of reference illustrip.py:39-499: per-scene prompt crossfades
+(get_encs, :316-339), the 4-track motion schedule with amplitude coupling
+(:301-314), per-frame motion applied to the parameter state (RGB directly;
+FFT through an irfft->warp->rfft round-trip, :386-409), fresh optimizer per
+frame with optional carried state (--smooth), and depth-warped 3D motion
+(depth_transform, :115-128).  Fixes the reference's undefined `pick_` /
+`proc_image` bugs (illustrip.py:224,260 — SURVEY.md §7).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from aphantasia_tpu.params.fft import FFTParameterizer, resume_fft, fft_scale
+from aphantasia_tpu.params.pixel import PixelParameterizer, resume_pixel
+from aphantasia_tpu.ops.sampler import CutoutSampler
+from aphantasia_tpu.ops.optim import build_optimizer
+from aphantasia_tpu.ops.losses import aesthetic_init, aesthetic_dims
+from aphantasia_tpu.ops.warp import frame_transform
+from aphantasia_tpu.parallel.step import StepSettings, build_train_step, build_render
+from aphantasia_tpu.cli.common import (
+    ClipWrapper, parse_size, build_prompt_groups, dualmod_steps,
+    maybe_translate, resolve_dtype)
+from aphantasia_tpu.models.clip.model import XMEM
+from aphantasia_tpu.io.media import img_read, img_list, frames_to_video, basename
+from aphantasia_tpu.utils import txt_clean, save_cfg, read_text, pick_, intrl
+from aphantasia_tpu.motion.anima import motion_schedule
+from aphantasia_tpu.progress import get_progress_bar
+
+CLIP_MODELS = ['ViT-B/16', 'ViT-B/32', 'RN50', 'RN50x4', 'RN50x16', 'RN101']
+
+
+def get_args(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument('-s',  '--size',    default='1280-720')
+    parser.add_argument('-t',  '--in_txt',  default=None, help='Text string or file (main topic)')
+    parser.add_argument('-pre', '--in_txt_pre', default=None)
+    parser.add_argument('-post', '--in_txt_post', default=None)
+    parser.add_argument('-t2', '--in_txt2', default=None, help='Text string or file (style)')
+    parser.add_argument('-t0', '--in_txt0', default=None, help='input text to subtract')
+    parser.add_argument('-im', '--in_img',  default=None, help='input image or directory')
+    parser.add_argument('-wi', '--weight_img', default=0.5, type=float)
+    parser.add_argument('-r',  '--resume',  default=None)
+    parser.add_argument('--out_dir', default='_out')
+    parser.add_argument('-tr', '--translate', action='store_true')
+    parser.add_argument('--invert',  action='store_true')
+    parser.add_argument('-v',  '--verbose',    dest='verbose', action='store_true')
+    parser.add_argument('-nv', '--no-verbose', dest='verbose', action='store_false')
+    parser.set_defaults(verbose=True)
+    # training
+    parser.add_argument('--gen',     default='RGB', help='Generation method: FFT or RGB')
+    parser.add_argument('-m',  '--model',   default='ViT-B/32', choices=CLIP_MODELS)
+    parser.add_argument('--steps',   default=300, type=int, help='Iterations (frames) per scene')
+    parser.add_argument('--samples', default=100, type=int)
+    parser.add_argument('-lr', '--lrate',   default=0.1, type=float)
+    parser.add_argument('-dm', '--dualmod', default=None, type=int)
+    # motion
+    parser.add_argument('-ops', '--opt_step', default=1, type=int, help='Optimizing steps per save/transform step')
+    parser.add_argument('-sm', '--smooth',  action='store_true', help='Smoothen interframe jittering for FFT method')
+    parser.add_argument('-it', '--interpol', default=True, help='Interpolate topics?')
+    parser.add_argument('--fstep',   default=100, type=int, help='Frames before changing motion')
+    parser.add_argument('--scale',   default=0.012, type=float)
+    parser.add_argument('--shift',   default=10., type=float)
+    parser.add_argument('--angle',   default=0.8, type=float)
+    parser.add_argument('--shear',   default=0.4, type=float)
+    parser.add_argument('--anima',   default=True)
+    # depth
+    parser.add_argument('-d',  '--depth',   default=0, type=float)
+    parser.add_argument('--depth_model', default='b', help='large, base or small')
+    parser.add_argument('--depth_dir',   default=None)
+    # tweaks
+    parser.add_argument('-a',  '--align',   default='overscan', choices=['central', 'uniform', 'overscan', 'overmax'])
+    parser.add_argument('-tf', '--transform', default='fast', choices=['none', 'fast', 'custom', 'elastic'])
+    parser.add_argument('-opt', '--optimizer', default='adam_custom', choices=['adam', 'adam_custom', 'adamw', 'adamw_custom'])
+    parser.add_argument('--fixcontrast', action='store_true')
+    parser.add_argument('--contrast', default=1.2, type=float)
+    parser.add_argument('--colors',  default=2.3, type=float)
+    parser.add_argument('-sh', '--sharp',   default=0, type=float)
+    parser.add_argument('-mc', '--macro',   default=0.3, type=float)
+    parser.add_argument('--aest',    default=0., type=float)
+    parser.add_argument('-e',  '--enforce', default=0, type=float)
+    parser.add_argument('-x',  '--expand',  default=0, type=float)
+    parser.add_argument('-n',  '--noise',   default=2., type=float, help='FFT only')
+    parser.add_argument('--sim',     default='mix')
+    parser.add_argument('--rem',     default=None, help='Dummy text to add to project name')
+    # TPU-specific
+    parser.add_argument('--clip_weights', default=None)
+    parser.add_argument('--depth_weights', default=None)
+    parser.add_argument('--precision', default='auto', choices=['auto', 'bf16', 'fp32'])
+    parser.add_argument('--seed', default=0, type=int)
+    a = parser.parse_args(argv)
+
+    a.size = parse_size(a.size)
+    a.gen = a.gen.upper()
+    a.invert = -1.0 if a.invert is True else 1.0
+    if a.gen == 'RGB':
+        a.smooth = False
+        a.align = 'overscan'
+        if a.resume is not None:
+            a.fixcontrast = True
+    if a.model == 'ViT-B/16':
+        a.sim = 'cossim'
+    if a.dualmod is not None:
+        a.model = 'ViT-B/32'
+        a.sim = 'cossim'
+    return a
+
+
+def get_encs(encs, num, steps, interpol=True):
+    """Per-scene embedding crossfade schedules (illustrip.py:316-339).
+    encs: list of (embs [K,D], wts [K]) or None per scene.
+    Returns a list of `steps` entries, each a list of (embs, wts)."""
+    cnt = len(encs)
+    if cnt == 0:
+        return []
+    enc_1 = encs[min(num, cnt - 1)]
+    enc_2 = encs[min(num + 1, cnt - 1)]
+    if interpol is not True:
+        return [[enc_1]] * steps
+    out = []
+    for i in range(steps):
+        step_encs = []
+        if enc_1 is not None:
+            step_encs.append((enc_1[0], enc_1[1] * (steps - i) / steps))
+        if enc_2 is not None:
+            step_encs.append((enc_2[0], enc_2[1] * i / steps))
+        out.append(step_encs)
+    return out
+
+
+def main(argv=None):
+    a = get_args(argv)
+    run(a)
+
+
+def run(a):
+    key = jax.random.PRNGKey(a.seed)
+    key, k_clip, k_init = jax.random.split(key, 3)
+    dtype = resolve_dtype(a.precision)
+
+    clip1 = ClipWrapper(a.model, a.clip_weights, key=k_clip)
+    a.modsize = clip1.modsize
+    if a.verbose:
+        print(' using model', a.model)
+    if a.model in XMEM:
+        a.samples = int(a.samples * XMEM[a.model])
+    clip2 = None
+    if a.dualmod is not None:
+        clip2 = ClipWrapper('ViT-B/16', a.clip_weights, key=k_clip)
+        a.samples = int(a.samples * 0.23)
+        print(' dual model every %d step' % a.dualmod)
+
+    aest = aest2 = None
+    if a.aest != 0 and aesthetic_dims(a.model):
+        aest = aesthetic_init(jax.random.PRNGKey(7), a.model)
+        if a.dualmod is not None:
+            aest2 = aesthetic_init(jax.random.PRNGKey(8), 'ViT-B/16')
+
+    if a.enforce != 0:
+        a.samples = int(a.samples * 0.5)
+    if a.transform in ('elastic', 'custom', 'fast'):
+        a.samples = int(a.samples * 0.95)
+    a.samples = max(a.samples, 1)
+
+    # ---- inputs (lists per scene) -----------------------------------------
+    texts, styles, notexts, images = [], [], [], []
+    if a.in_txt is not None:
+        texts = read_text(a.in_txt)
+    if a.in_txt_pre is not None:
+        pre = read_text(a.in_txt_pre)
+        texts = [' | '.join([pick_(pre, n), texts[n]]).strip()
+                 for n in range(len(texts))]
+    if a.in_txt_post is not None:
+        post = read_text(a.in_txt_post)
+        texts = [' | '.join([texts[n], pick_(post, n)]).strip()
+                 for n in range(len(texts))]
+    texts = maybe_translate(texts, a.translate, a.verbose)
+    if a.in_txt2 is not None:
+        styles = maybe_translate(read_text(a.in_txt2), a.translate, a.verbose)
+    if a.in_txt0 is not None:
+        notexts = maybe_translate(read_text(a.in_txt0), a.translate, a.verbose)
+    if a.in_img is not None and os.path.exists(a.in_img):
+        from aphantasia_tpu.io.media import file_list
+        images = (file_list(a.in_img) if os.path.isdir(a.in_img)
+                  else [a.in_img])
+
+    def enc_all(clip):
+        txt_encs = [clip.enc_text(t) for t in texts]
+        styl_encs = [clip.enc_text(s) for s in styles]
+        not_encs = [clip.enc_text(s) for s in notexts]
+        img_encs = []
+        for i, p in enumerate(images):
+            k = jax.random.fold_in(key, 200 + i)
+            emb, _ = clip.enc_image_sliced(img_read(p), a.samples, a.align, k)
+            img_encs.append((emb, jnp.ones((emb.shape[0],)) / emb.shape[0]))
+        return txt_encs, styl_encs, not_encs, img_encs
+
+    enc1 = enc_all(clip1)
+    enc2 = enc_all(clip2) if clip2 else None
+    count = max(len(enc1[0]), len(enc1[1]), len(enc1[2]), len(enc1[3]))
+    assert count > 0, "No inputs found!"
+    if a.verbose:
+        print(' samples:', a.samples)
+
+    # ---- parameter state --------------------------------------------------
+    shape = [1, 3, *a.size]
+    if a.gen == 'RGB':
+        params_tmp, sz = resume_pixel(a.resume, shape, key=k_init)
+        if isinstance(params_tmp, list):
+            params_tmp = params_tmp[0]
+    else:
+        params_tmp, sz = resume_fft(a.resume, shape, decay=1.5, sd=1,
+                                    key=k_init)
+    if sz is not None:
+        a.size = list(sz)
+    params_tmp = jnp.asarray(np.asarray(params_tmp, np.float32))
+
+    deptha = None
+    if a.depth != 0:
+        from aphantasia_tpu.models.depth_anything import InferDepthAny
+        params_d = None
+        if a.depth_weights:
+            from aphantasia_tpu.models.depth_anything.convert import convert_hf_dav2
+            params_d = convert_hf_dav2(a.depth_weights)
+        deptha = InferDepthAny(a.depth_model, params=params_d, dtype=dtype)
+        if a.depth_dir is not None:
+            os.makedirs(a.depth_dir, exist_ok=True)
+            print(' depth dir:', a.depth_dir)
+
+    steps = a.steps
+    glob_steps = count * steps
+    if glob_steps == a.fstep:
+        a.fstep = glob_steps // 2  # otherwise no motion (illustrip.py:285)
+
+    workname = basename(a.in_txt) if a.in_txt is not None else basename(a.in_img)
+    workname = txt_clean(workname)
+    workdir = os.path.join(a.out_dir, workname + '-%s' % a.gen.lower())
+    if a.rem is not None:
+        workdir += '-%s' % a.rem
+    if a.dualmod is not None:
+        workdir += '-dm%d' % a.dualmod
+    if 'RN' in a.model.upper():
+        workdir += '-%s' % a.model
+    tempdir = os.path.join(workdir, 'ttt')
+    os.makedirs(tempdir, exist_ok=True)
+    save_cfg(a, workdir)
+    if a.in_txt is not None and os.path.isfile(a.in_txt):
+        shutil.copy(a.in_txt, os.path.join(workdir, os.path.basename(a.in_txt)))
+
+    if a.anima:
+        m_scale, m_shift, m_angle, m_shear = motion_schedule(
+            glob_steps, a.fstep, a.gen, a.scale, a.shift, a.angle, a.shear,
+            seed=a.seed)
+
+    # ---- parameterizers / steps -------------------------------------------
+    if a.gen == 'RGB':
+        par = PixelParameterizer(tuple(a.size), a.colors, a.fixcontrast)
+    else:
+        par = FFTParameterizer(tuple(a.size), 1.0, a.colors)  # sd=1 resume decode
+    sampler = CutoutSampler(tuple(a.size), a.samples, a.modsize, a.align, a.macro)
+    optimizer = build_optimizer(a.optimizer, a.lrate)
+    settings = StepSettings(
+        sim=a.sim or 'cossim', sharp=a.sharp, sharp_mode='naiv', aest=a.aest,
+        enforce=a.enforce, expand=a.expand,
+        noise=a.noise if a.gen == 'FFT' else 0.0, noise_centered=True,
+        total_steps=steps, rgb_anchors=(a.gen == 'RGB'),
+        transform=a.transform, clip_dtype=dtype)
+    step1 = build_train_step(par, sampler, clip1.cfg, settings, optimizer)
+    step2 = (build_train_step(par, sampler, clip2.cfg, settings, optimizer)
+             if clip2 else None)
+    render = build_render(par)
+    dm_nums = dualmod_steps(steps, a.dualmod) if a.dualmod else set()
+
+    # FFT-domain motion round-trip, jitted (illustrip.py:393-409)
+    h, w = a.size
+    scale_arr = jnp.asarray(fft_scale(h, w, 1.0)) if a.gen == 'FFT' else None
+
+    @jax.jit
+    def fft_to_img(params):
+        spec = jax.lax.complex(params[..., 0], params[..., 1])
+        return jnp.fft.irfft2(spec, s=(h, w), norm="ortho")
+
+    @jax.jit
+    def img_to_fft(img):
+        spec = jnp.fft.rfft2(img, s=(h, w), norm="ortho")
+        return jnp.stack([spec.real, spec.imag], axis=-1)
+
+    warp_jit = jax.jit(lambda img, ang, sh0, sh1, sc, shr: frame_transform(
+        img, (h, w), ang, (sh0, sh1), sc, shr))
+
+    opt_state_carry = {}
+    prev_enc = jnp.zeros((a.samples, clip1.cfg.embed_dim))
+    glob_start = time.time()
+    key_run = key
+
+    def process(num):
+        nonlocal params_tmp, prev_enc, key_run
+        txt_encs = get_encs(enc1[0], num, steps, a.interpol)
+        styl_encs = get_encs(enc1[1], num, steps, a.interpol)
+        not_encs = get_encs(enc1[2], num, steps, a.interpol)
+        img_encs = get_encs(enc1[3], num, steps, a.interpol)
+        if clip2:
+            txt2 = get_encs(enc2[0], num, steps, a.interpol)
+            styl2 = get_encs(enc2[1], num, steps, a.interpol)
+            not2 = get_encs(enc2[2], num, steps, a.interpol)
+            img2 = get_encs(enc2[3], num, steps, a.interpol)
+            if txt_encs:
+                txt_encs = intrl(txt_encs, txt2, a.dualmod)
+            if styl_encs:
+                styl_encs = intrl(styl_encs, styl2, a.dualmod)
+            if not_encs:
+                not_encs = intrl(not_encs, not2, a.dualmod)
+            if img_encs:
+                img_encs = intrl(img_encs, img2, a.dualmod)
+
+        if a.verbose:
+            if texts:
+                print(' ref text: ', texts[min(num, len(texts) - 1)][:80])
+            if styles:
+                print(' ref style: ', styles[min(num, len(styles) - 1)][:80])
+
+        pbar = get_progress_bar()(steps)
+        for ii in range(steps):
+            glob_step = num * steps + ii
+
+            scale = float(m_scale[glob_step]) if a.anima else 1 + a.scale
+            shift = (m_shift[glob_step] if a.anima else [0, a.shift])
+            angle = float(m_angle[glob_step][0]) if a.anima else a.angle
+            shear = float(m_shear[glob_step][0]) if a.anima else a.shear
+
+            # MOTION on parameter state (illustrip.py:379-409)
+            if a.gen == 'RGB':
+                if a.depth > 0:
+                    from aphantasia_tpu.motion.depthwarp import depth_transform
+                    params_tmp = depth_transform(
+                        params_tmp, deptha, a.depth, scale, shift, a.colors,
+                        a.depth_dir, glob_step)
+                params_tmp = warp_jit(params_tmp, angle,
+                                      float(shift[0]), float(shift[1]),
+                                      scale, shear)
+                gen_params = params_tmp
+            else:
+                img_tmp = fft_to_img(params_tmp)
+                if a.depth > 0:
+                    from aphantasia_tpu.motion.depthwarp import depth_transform
+                    img_tmp = depth_transform(
+                        img_tmp, deptha, a.depth, scale, shift, a.colors,
+                        a.depth_dir, glob_step)
+                img_tmp = warp_jit(img_tmp, angle, float(shift[0]),
+                                   float(shift[1]), scale, shear)
+                gen_params = img_to_fft(img_tmp)
+
+            # fresh optimizer each frame; --smooth carries state
+            opt_state = (opt_state_carry.get('s') if (a.smooth and glob_step > 0)
+                         else optimizer.init(gen_params))
+
+            use2 = clip2 is not None and ii in dm_nums
+            step = step2 if use2 else step1
+            clip_w = clip2.params if use2 else clip1.params
+
+            groups = []
+            for encs in (txt_encs, styl_encs, not_encs, img_encs):
+                if not encs:
+                    continue
+                coeff = (-a.invert if encs is txt_encs
+                         else 1.0 if encs is not_encs
+                         else -a.weight_img if encs is img_encs else -1.0)
+                for embs, wts in encs[ii % len(encs)]:
+                    groups.append((embs, wts, coeff))
+            prompts = build_prompt_groups(groups)
+
+            for ss in range(a.opt_step):
+                key_run, k_step = jax.random.split(key_run)
+                gen_params, opt_state, prev_enc, loss = step(
+                    gen_params, opt_state, prev_enc, clip_w,
+                    aest2 if use2 else aest, None, prompts, k_step,
+                    jnp.int32(ii))
+
+            params_tmp = gen_params
+            if a.smooth:
+                opt_state_carry['s'] = opt_state
+
+            img = np.asarray(render(gen_params, contrast=a.contrast))
+            from aphantasia_tpu.io.media import img_save, cvshow
+            img_save(os.path.join(tempdir, '%06d.jpg' % glob_step), img)
+            if a.verbose:
+                cvshow(img)
+            pbar.upd()
+
+    try:
+        for i in range(count):
+            process(i)
+    except KeyboardInterrupt:
+        pass
+
+    frames_to_video(tempdir, os.path.join(workdir, workname + '.mp4'),
+                    pattern='%06d.jpg')
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,81 @@
+"""interpol — offline FFT-snapshot interpolation to video.
+
+Rebuild of reference aphantasia/interpol.py:18-66: reads a directory of .pt
+FFT snapshots, renders a crossfade between consecutive snapshots through the
+decode path's spectrum `shift` argument, assembles a video.  Fixes the
+reference's undefined `a.lsteps`/`count` bugs (interpol.py:46, SURVEY.md §7).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from aphantasia_tpu.params.fft import FFTParameterizer
+from aphantasia_tpu.io.checkpoint import load_pt
+from aphantasia_tpu.io.media import file_list, checkout, frames_to_video
+from aphantasia_tpu.parallel.step import build_render
+from aphantasia_tpu.progress import get_progress_bar
+import jax
+
+
+def get_args(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument('-i', '--in_dir', default='pt')
+    parser.add_argument('-o', '--out_dir', default='_out')
+    parser.add_argument('-l', '--length', default=None, type=int, help='Total length in sec')
+    parser.add_argument('-s', '--steps', default=25, type=int, help='Frames per transition')
+    parser.add_argument('--fps', default=25, type=int)
+    parser.add_argument('--contrast', default=1.1, type=float)
+    parser.add_argument('--colors', default=1.8, type=float)
+    parser.add_argument('-d', '--decay', default=1.5, type=float)
+    parser.add_argument('-v', '--verbose', default=True, type=bool)
+    return parser.parse_args(argv)
+
+
+def read_pt(file):
+    obj = load_pt(file)
+    if isinstance(obj, list):
+        obj = obj[0]
+    return jnp.asarray(np.asarray(obj, np.float32))
+
+
+def main(argv=None):
+    a = get_args(argv)
+    tempdir = os.path.join(a.out_dir, 'a')
+    os.makedirs(tempdir, exist_ok=True)
+
+    ptfiles = file_list(a.in_dir, 'pt')
+    assert ptfiles, f"no .pt snapshots in {a.in_dir}"
+
+    ptest = read_pt(ptfiles[0])
+    h, w = ptest.shape[2], (ptest.shape[3] - 1) * 2
+    par = FFTParameterizer((h, w), a.decay, a.colors)
+
+    vsteps = a.steps if a.length is None else int(a.length * a.fps / len(ptfiles))
+    render = jax.jit(lambda p, shift: jnp.clip(
+        par.image(p, shift=shift, contrast=a.contrast)[0].transpose(1, 2, 0),
+        0.0, 1.0))
+
+    pbar = get_progress_bar()(vsteps * len(ptfiles))
+    for px in range(len(ptfiles)):
+        params1 = read_pt(ptfiles[px])
+        params2 = read_pt(ptfiles[(px + 1) % len(ptfiles)])
+        for i in range(vsteps):
+            x = i / vsteps
+            img = np.asarray(render(params1, (params2 - params1) * x))
+            checkout(np.transpose(img, (2, 0, 1)),
+                     os.path.join(tempdir, '%05d.jpg' % (px * vsteps + i)),
+                     verbose=a.verbose)
+            pbar.upd()
+
+    out = frames_to_video(tempdir, '%s-pts.mp4' % a.in_dir.rstrip('/'),
+                          pattern='%05d.jpg', fps=a.fps)
+    if out and a.verbose:
+        print('\n', out)
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,124 @@
+"""Separable affine warping — gather-free, TPU-native.
+
+Why: XLA lowers arbitrary-index bilinear warps (grid_sample-style gathers) on
+TPU to slow gathers, and their VJP to catastrophic scatters (~13s/step at 200
+samples).  This module decomposes any per-sample affine warp A = L·D·U
+(shear-y · scale · shear-x, LDU of the 2x2 block) into:
+
+  * shear passes: per-row / per-column FRACTIONAL SHIFTS via rFFT phase
+    multiplication (exact translation, O(n log n), lowered to MXU-friendly
+    ops, trivially differentiable — the transpose is the conjugate phase);
+  * scale passes: per-sample 1D interpolation matrices built by iota
+    comparison (no scatter) and applied as batched matmuls (MXU).
+
+The decomposition is exact for the affine map; resampling uses band-limited
+(sinc) interpolation along shear axes and bilinear along scale axes.  Inputs
+are zero-padded so FFT wrap-around never reaches the output crop.
+
+Used by ops/augs.py for the per-cutout augmentation warps (rotation,
+affine-fit perspective, jitter) — the hot path of the training step.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def fractional_shift(x: jnp.ndarray, shift: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Per-slice fractional translation along `axis` via FFT phase.
+
+    x     : [..., N] with `axis` moved last internally
+    shift : broadcastable to x.shape without the shifted axis; positive shift
+            moves content toward higher indices (out[i] = in[i - shift]).
+    """
+    x = jnp.moveaxis(x, axis, -1)
+    n = x.shape[-1]
+    xf = jnp.fft.rfft(x.astype(jnp.float32), axis=-1)
+    k = jnp.arange(n // 2 + 1, dtype=jnp.float32)
+    phase = jnp.exp(-2j * np.pi * k * shift[..., None] / n)
+    out = jnp.fft.irfft(xf * phase, n=n, axis=-1)
+    return jnp.moveaxis(out, -1, axis)
+
+
+def scale_matrix_1d(scale: jnp.ndarray, offset: jnp.ndarray, n: int,
+                    dtype=jnp.float32) -> jnp.ndarray:
+    """Per-sample 1D bilinear resample matrices [S, n, n] with
+    src = scale * (dst - c) + c + offset, c = (n-1)/2.  Built with iota
+    comparisons (no scatter); rows sample with zero padding outside."""
+    c = (n - 1) / 2.0
+    dst = jnp.arange(n, dtype=jnp.float32)
+    src = scale[:, None] * (dst - c) + c + offset[:, None]       # [S,n]
+    i0 = jnp.floor(src)
+    t = src - i0
+    iota = jnp.arange(n, dtype=jnp.float32)
+    # two taps: i0 (weight 1-t) and i0+1 (weight t); out-of-range taps drop
+    m0 = (iota[None, None, :] == i0[:, :, None]).astype(dtype) * (1 - t)[:, :, None].astype(dtype)
+    m1 = (iota[None, None, :] == (i0 + 1)[:, :, None]).astype(dtype) * t[:, :, None].astype(dtype)
+    return m0 + m1                                                # [S,n,n]
+
+
+def ldu_decompose(a2: jnp.ndarray):
+    """Per-sample LDU of [S,2,2] inverse-warp matrices:
+    A = [[1,0],[l,1]] @ diag(d1,d2) @ [[1,u],[0,1]].
+    Requires a00 != 0 (true for the aug family: |rot| <= 30 deg)."""
+    a00, a01 = a2[:, 0, 0], a2[:, 0, 1]
+    a10, a11 = a2[:, 1, 0], a2[:, 1, 1]
+    d1 = a00
+    u = a01 / a00
+    l = a10 / a00
+    d2 = a11 - a10 * a01 / a00
+    return l, d1, d2, u
+
+
+def affine_warp(cuts: jnp.ndarray, affines: jnp.ndarray, pad: int = 64,
+                fill: float = 0.0, compute_dtype=None) -> jnp.ndarray:
+    """Per-sample affine warp of [S,C,H,W] by inverse maps [S,2,3]
+    (src_centered = A2 @ dst_centered + t), gather-free.
+
+    With A2 = L D U, out(x) = in(L D U x + t) is computed as the pass chain
+      g1 = warp_{L,t} in ;  g2(x) = g1(D x) ;  out(x) = g2(U x)
+    i.e. apply L (with translation) FIRST, then D, then U.  The L pass
+    itself splits into a uniform x-shift (tx) followed by a per-column
+    y-shift (l*x + ty); U is a per-row x-shift (u*y); D is two per-sample
+    scale matmuls.
+    """
+    s, c, h, w = cuts.shape
+    dt = compute_dtype or jnp.float32
+    if fill != 0.0:
+        cuts = cuts - fill
+    x = jnp.pad(cuts, ((0, 0), (0, 0), (pad, pad), (pad, pad)))
+    hp, wp = h + 2 * pad, w + 2 * pad
+
+    a2 = affines[:, :, :2]
+    t = affines[:, :, 2]
+    l, d1, d2, u = ldu_decompose(a2)
+
+    cyp = (hp - 1) / 2.0
+    cxp = (wp - 1) / 2.0
+    xs = jnp.arange(wp, dtype=jnp.float32) - cxp                  # [Wp]
+    ys = jnp.arange(hp, dtype=jnp.float32) - cyp                  # [Hp]
+
+    # --- L pass ------------------------------------------------------------
+    # x-shift uniform: src_x = x + tx  =>  shift = -tx  (broadcast all rows)
+    x = fractional_shift(x, -t[:, 0][:, None, None], axis=-1)
+    # y-shift per column: src_y = y + l*x + ty  =>  shift = -(l*x + ty)
+    shift_y = -(l[:, None] * xs[None, :] + t[:, 1][:, None])       # [S,Wp]
+    x = fractional_shift(x, shift_y[:, None, :], axis=-2)
+
+    # --- D pass: per-sample scales (bilinear matrices, batched matmul) -----
+    my = scale_matrix_1d(d2, jnp.zeros_like(d2), hp, dtype=dt)     # [S,Hp,Hp]
+    mx = scale_matrix_1d(d1, jnp.zeros_like(d1), wp, dtype=dt)     # [S,Wp,Wp]
+    x = jnp.einsum("soh,schw->scow", my, x.astype(dt),
+                   preferred_element_type=jnp.float32)
+    x = jnp.einsum("sow,schw->scho", mx, x.astype(dt),
+                   preferred_element_type=jnp.float32)
+
+    # --- U pass: x-shift per row: src_x = x + u*y  =>  shift = -(u*y) ------
+    shift_x = -(u[:, None] * ys[None, :])                          # [S,Hp]
+    x = fractional_shift(x, shift_x[:, None, :], axis=-1)
+
+    out = x[:, :, pad:pad + h, pad:pad + w]
+    if fill != 0.0:
+        out = out + fill
+    return out.astype(cuts.dtype)
