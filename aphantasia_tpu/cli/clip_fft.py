@@ -240,15 +240,14 @@ def run(a):
             prompts, k_step, jnp.int32(i // a.opt_step))
 
         if i % a.opt_step == 0:
-            img = np.asarray(render(gen_params, contrast=a.contrast))
+            img = np.asarray(render(gen_params, contrast=a.contrast))  # uint8 HWC
             # empirical tone mapping (clip_fft.py:300-304)
             if a.sync > 0 and a.in_img is not None:
-                img = img ** 1.3
+                img = ((img / 255.0) ** 1.3 * 255).astype(np.uint8)
             elif a.sharp != 0:
-                img = img ** (1 + a.sharp / 2.0)
-            checkout(np.transpose(img, (2, 0, 1)),
-                     os.path.join(tempdir, '%04d.jpg' % (i // a.opt_step)),
-                     verbose=a.verbose)
+                img = ((img / 255.0) ** (1 + a.sharp / 2.0) * 255).astype(np.uint8)
+            from aphantasia_tpu.io.media import img_save
+            img_save(os.path.join(tempdir, '%04d.jpg' % (i // a.opt_step)), img)
             pbar.upd()
 
     # ---- assembly ---------------------------------------------------------

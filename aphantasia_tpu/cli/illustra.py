@@ -236,10 +236,10 @@ def run(a):
                 aest2 if use2 else aest, None,
                 prompts2 if use2 else prompts1, k_step, jnp.int32(i))
             if i % a.save_step == 0:
+                from aphantasia_tpu.io.media import img_save
                 img = np.asarray(render(gen_params, contrast=a.contrast))
-                checkout(np.transpose(img, (2, 0, 1)),
-                         os.path.join(tempdir, '%04d.jpg' % (i // a.save_step)),
-                         verbose=a.verbose)
+                img_save(os.path.join(tempdir,
+                                      '%04d.jpg' % (i // a.save_step)), img)
                 pbar.upd()
 
         frames = img_list(tempdir)
@@ -261,9 +261,10 @@ def run(a):
         if a.verbose:
             print(' rendering complete piece')
         ptfiles = file_list(workdir, 'pt')
-        shift_render = jax.jit(lambda p, s: jnp.clip(
+        shift_render = jax.jit(lambda p, s: (jnp.clip(
             par.image(p, shift=s, contrast=a.contrast)[0].transpose(1, 2, 0),
-            0.0, 1.0))
+            0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8))
+        from aphantasia_tpu.io.media import img_save
         pbar = get_progress_bar()(vsteps * len(ptfiles))
         for px in range(len(ptfiles)):
             p1 = jnp.asarray(np.asarray(load_pt(ptfiles[px]), np.float32))
@@ -272,9 +273,8 @@ def run(a):
             for i in range(vsteps):
                 x = i / vsteps
                 img = np.asarray(shift_render(p1, (p2 - p1) * x))
-                checkout(np.transpose(img, (2, 0, 1)),
-                         os.path.join(tempdir, '%05d.jpg' % (px * vsteps + i)),
-                         verbose=a.verbose)
+                img_save(os.path.join(tempdir,
+                                      '%05d.jpg' % (px * vsteps + i)), img)
                 pbar.upd()
         name = basename(a.in_txt) if a.in_txt else 'final'
         frames_to_video(tempdir, os.path.join(a.out_dir, name + '.mp4'),

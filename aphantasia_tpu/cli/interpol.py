@@ -55,10 +55,11 @@ def main(argv=None):
     par = FFTParameterizer((h, w), a.decay, a.colors)
 
     vsteps = a.steps if a.length is None else int(a.length * a.fps / len(ptfiles))
-    render = jax.jit(lambda p, shift: jnp.clip(
+    render = jax.jit(lambda p, shift: (jnp.clip(
         par.image(p, shift=shift, contrast=a.contrast)[0].transpose(1, 2, 0),
-        0.0, 1.0))
+        0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8))
 
+    from aphantasia_tpu.io.media import img_save
     pbar = get_progress_bar()(vsteps * len(ptfiles))
     for px in range(len(ptfiles)):
         params1 = read_pt(ptfiles[px])
@@ -66,9 +67,8 @@ def main(argv=None):
         for i in range(vsteps):
             x = i / vsteps
             img = np.asarray(render(params1, (params2 - params1) * x))
-            checkout(np.transpose(img, (2, 0, 1)),
-                     os.path.join(tempdir, '%05d.jpg' % (px * vsteps + i)),
-                     verbose=a.verbose)
+            img_save(os.path.join(tempdir, '%05d.jpg' % (px * vsteps + i)),
+                     img)
             pbar.upd()
 
     out = frames_to_video(tempdir, '%s-pts.mp4' % a.in_dir.rstrip('/'),

@@ -128,7 +128,7 @@ def transforms_fast(key, cuts):
     k1, k2, k3 = jax.random.split(key, 3)
     aff = _compose(random_perspective_affine(k1, s, h, w),
                    random_rotate_affine(k2, s))
-    cuts = affine_warp(cuts, aff, pad=64)
+    cuts = affine_warp(cuts, aff, pad=56, compute_dtype=jnp.bfloat16)
     cuts = random_erasing(k3, cuts)
     return clip_normalize(cuts)
 
@@ -143,7 +143,7 @@ def transforms_custom(key, cuts):
         [pad_scale * jnp.eye(2), jnp.zeros((2, 1))], 1), (s, 2, 3))
     aff = _compose(scale_aff, _compose(random_rotate_affine(k1, s),
                                        _jitter_affine(k2, s, 8)))
-    cuts = affine_warp(cuts, aff, pad=64, fill=0.5)
+    cuts = affine_warp(cuts, aff, pad=56, fill=0.5, compute_dtype=jnp.bfloat16)
     return clip_normalize(cuts)
 
 
@@ -154,7 +154,7 @@ def transforms_elastic(key, cuts):
     s, c, h, w = cuts.shape
     k1, k2, k3, k4, k5 = jax.random.split(key, 5)
     aff = _compose(random_rotate_affine(k1, s), _jitter_affine(k2, s, 8))
-    cuts = affine_warp(cuts, aff, pad=64, fill=0.5)
+    cuts = affine_warp(cuts, aff, pad=56, fill=0.5, compute_dtype=jnp.bfloat16)
     cuts = random_erasing(k3, cuts)
     # separable elastic: coarse smooth 1D displacement tracks, amp ~ 6 px
     def smooth_track(k, n):

@@ -25,19 +25,53 @@ import jax
 import jax.numpy as jnp
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=32)
+def _dft_mats(n: int):
+    """Real DFT analysis/synthesis matrices (numpy, cached per length).
+
+    XLA's TPU FFT lowering is far off the roofline for these shapes; four
+    MXU matmuls beat it by an order of magnitude.  Returns
+    (cos_f [n,nf], sin_f [n,nf], cos_i [nf,n], sin_i [nf,n]) with the
+    irfft weighting folded into the synthesis matrices."""
+    nf = n // 2 + 1
+    j = np.arange(n)[:, None]
+    k = np.arange(nf)[None, :]
+    ang = 2.0 * np.pi * j * k / n
+    cos_f = np.cos(ang).astype(np.float32)           # analysis (real part)
+    sin_f = -np.sin(ang).astype(np.float32)          # analysis (imag part)
+    w = np.full(nf, 2.0)
+    w[0] = 1.0
+    if n % 2 == 0:
+        w[-1] = 1.0
+    cos_i = (np.cos(ang) * w[None, :] / n).astype(np.float32).T   # [nf,n]
+    sin_i = (np.sin(ang) * w[None, :] / n).astype(np.float32).T
+    return cos_f, sin_f, cos_i, sin_i
+
+
 def fractional_shift(x: jnp.ndarray, shift: jnp.ndarray, axis: int) -> jnp.ndarray:
-    """Per-slice fractional translation along `axis` via FFT phase.
+    """Per-slice fractional translation along `axis` via DFT phase — the
+    transform runs as MXU matmuls (see _dft_mats), the phase multiply on
+    the VPU.
 
     x     : [..., N] with `axis` moved last internally
     shift : broadcastable to x.shape without the shifted axis; positive shift
             moves content toward higher indices (out[i] = in[i - shift]).
     """
-    x = jnp.moveaxis(x, axis, -1)
+    x = jnp.moveaxis(x, axis, -1).astype(jnp.float32)
     n = x.shape[-1]
-    xf = jnp.fft.rfft(x.astype(jnp.float32), axis=-1)
-    k = jnp.arange(n // 2 + 1, dtype=jnp.float32)
-    phase = jnp.exp(-2j * np.pi * k * shift[..., None] / n)
-    out = jnp.fft.irfft(xf * phase, n=n, axis=-1)
+    nf = n // 2 + 1
+    cos_f, sin_f, cos_i, sin_i = (jnp.asarray(m) for m in _dft_mats(n))
+    fr = x @ cos_f                                   # [..., nf]
+    fi = x @ sin_f
+    k = jnp.arange(nf, dtype=jnp.float32)
+    phi = -2.0 * np.pi * k * shift[..., None] / n
+    c, s = jnp.cos(phi), jnp.sin(phi)
+    gr = fr * c - fi * s
+    gi = fr * s + fi * c
+    out = gr @ cos_i - gi @ sin_i
     return jnp.moveaxis(out, -1, axis)
 
 
@@ -77,11 +111,10 @@ def affine_warp(cuts: jnp.ndarray, affines: jnp.ndarray, pad: int = 64,
     (src_centered = A2 @ dst_centered + t), gather-free.
 
     With A2 = L D U, out(x) = in(L D U x + t) is computed as the pass chain
-      g1 = warp_{L,t} in ;  g2(x) = g1(D x) ;  out(x) = g2(U x)
-    i.e. apply L (with translation) FIRST, then D, then U.  The L pass
-    itself splits into a uniform x-shift (tx) followed by a per-column
-    y-shift (l*x + ty); U is a per-row x-shift (u*y); D is two per-sample
-    scale matmuls.
+      g1 = warp_L in ;  g2(y) = g1(D y + L^-1 t) ;  out(x) = g2(U x)
+    i.e. L first (per-column y-shift), then D (two per-sample scale matmuls
+    whose offsets absorb the full translation L^-1 t), then U (per-row
+    x-shift) — only 2 FFT shift passes total.
     """
     s, c, h, w = cuts.shape
     dt = compute_dtype or jnp.float32
@@ -99,16 +132,15 @@ def affine_warp(cuts: jnp.ndarray, affines: jnp.ndarray, pad: int = 64,
     xs = jnp.arange(wp, dtype=jnp.float32) - cxp                  # [Wp]
     ys = jnp.arange(hp, dtype=jnp.float32) - cyp                  # [Hp]
 
-    # --- L pass ------------------------------------------------------------
-    # x-shift uniform: src_x = x + tx  =>  shift = -tx  (broadcast all rows)
-    x = fractional_shift(x, -t[:, 0][:, None, None], axis=-1)
-    # y-shift per column: src_y = y + l*x + ty  =>  shift = -(l*x + ty)
-    shift_y = -(l[:, None] * xs[None, :] + t[:, 1][:, None])       # [S,Wp]
+    # --- L pass: src_y = y + l*x  =>  shift = -(l*x) per column ------------
+    shift_y = -(l[:, None] * xs[None, :])                          # [S,Wp]
     x = fractional_shift(x, shift_y[:, None, :], axis=-2)
 
-    # --- D pass: per-sample scales (bilinear matrices, batched matmul) -----
-    my = scale_matrix_1d(d2, jnp.zeros_like(d2), hp, dtype=dt)     # [S,Hp,Hp]
-    mx = scale_matrix_1d(d1, jnp.zeros_like(d1), wp, dtype=dt)     # [S,Wp,Wp]
+    # --- D pass with translation L^-1 t = (tx, ty - l*tx) as offsets -------
+    off_x = t[:, 0]
+    off_y = t[:, 1] - l * t[:, 0]
+    my = scale_matrix_1d(d2, off_y, hp, dtype=dt)                  # [S,Hp,Hp]
+    mx = scale_matrix_1d(d1, off_x, wp, dtype=dt)                  # [S,Wp,Wp]
     x = jnp.einsum("soh,schw->scow", my, x.astype(dt),
                    preferred_element_type=jnp.float32)
     x = jnp.einsum("sow,schw->scho", mx, x.astype(dt),

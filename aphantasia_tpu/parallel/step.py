@@ -162,10 +162,45 @@ def build_train_step(parameterizer, sampler, clip_cfg, settings: StepSettings,
     return train_step
 
 
+def build_train_loop(parameterizer, sampler, clip_cfg, settings: StepSettings,
+                     optimizer: optax.GradientTransformation, n_inner: int,
+                     mesh=None):
+    """N training steps per dispatch via lax.scan — amortizes the per-call
+    host->device round trip (~28ms through the tunneled runtime).
+
+    Returns loop(gen_params, opt_state, prev_enc, clip_params, aest_params,
+    lpips_bundle, prompts, key, step0) -> (gen_params, opt_state, prev_enc,
+    losses [n_inner])."""
+    loss_fn = build_loss_fn(parameterizer, sampler, clip_cfg, settings, mesh)
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def loop(gen_params, opt_state, prev_enc, clip_params, aest_params,
+             lpips_bundle, prompts, key, step0):
+        def body(carry, i):
+            gp, os_, pe = carry
+            k = jax.random.fold_in(key, i)
+            (loss, out_enc), grads = grad_fn(
+                gp, clip_params, aest_params, lpips_bundle, prompts, pe, k,
+                step0 + i)
+            updates, os_ = optimizer.update(grads, os_, gp)
+            gp = optax.apply_updates(gp, updates)
+            return (gp, os_, out_enc), loss
+
+        (gp, os_, pe), losses = jax.lax.scan(
+            body, (gen_params, opt_state, prev_enc),
+            jnp.arange(n_inner, dtype=jnp.int32))
+        return gp, os_, pe, losses
+
+    return jax.jit(loop, donate_argnums=(0, 1, 2))
+
+
 def build_render(parameterizer, jit: bool = True):
-    """Frame renderer: params -> [H,W,3] float in [0,1] (tone mapping is
-    applied host-side, utils.py:94-100 + clip_fft.py:300-304)."""
+    """Frame renderer: params -> [H,W,3] uint8 on device (uint8 before the
+    device->host pull — the tunneled transfer is bandwidth-bound).  Tone
+    mapping stays host-side (clip_fft.py:300-304) on the float copy when
+    needed via `as_float`."""
     def render(gen_params, contrast=1.0):
         img = parameterizer.image(gen_params, contrast=contrast)
-        return jnp.clip(img[0].transpose(1, 2, 0), 0.0, 1.0)
+        img = jnp.clip(img[0].transpose(1, 2, 0), 0.0, 1.0)
+        return (img * 255.0 + 0.5).astype(jnp.uint8)
     return jax.jit(render) if jit else render

@@ -25,7 +25,7 @@ def main():
     platform = jax.devices()[0].platform
     on_tpu = platform in ("tpu", "axon")
     if on_tpu:
-        size, samples, steps, warmup = (720, 1280), 200, 30, 5
+        size, samples, steps, warmup = (720, 1280), 200, 5, 2
         dtype = jnp.bfloat16
         chunk = 0
     else:  # CPU fallback so the bench never crashes off-TPU (scaled config)
@@ -37,7 +37,7 @@ def main():
     from aphantasia_tpu.ops.sampler import CutoutSampler
     from aphantasia_tpu.ops.optim import build_optimizer
     from aphantasia_tpu.models.clip.model import CLIP_CONFIGS, clip_init
-    from aphantasia_tpu.parallel.step import StepSettings, build_train_step
+    from aphantasia_tpu.parallel.step import StepSettings, build_train_loop
 
     cfg = CLIP_CONFIGS["ViT-B/32"]
     key = jax.random.PRNGKey(0)
@@ -52,7 +52,8 @@ def main():
     settings = StepSettings(sim="mix", transform="fast", total_steps=200,
                             clip_dtype=dtype)
     optimizer = build_optimizer("adam_custom", 0.05)
-    step = build_train_step(par, sampler, cfg, settings, optimizer)
+    inner = 10 if on_tpu else 2
+    loop = build_train_loop(par, sampler, cfg, settings, optimizer, inner)
 
     gen_params = par.init(jax.random.PRNGKey(1))
     opt_state = optimizer.init(gen_params)
@@ -60,23 +61,25 @@ def main():
     embs = jax.random.normal(jax.random.PRNGKey(2), (2, cfg.embed_dim))
     prompts = ((embs, jnp.ones((2,)), jnp.float32(-1.0)),)
 
-    def run_step(i, key):
+    def run_chunk(i, key):
         nonlocal gen_params, opt_state, prev_enc
-        gen_params, opt_state, prev_enc, loss = step(
+        gen_params, opt_state, prev_enc, losses = loop(
             gen_params, opt_state, prev_enc, clip_params, None, None,
             prompts, key, jnp.int32(i))
-        return loss
+        return losses
 
     keys = jax.random.split(jax.random.PRNGKey(3), steps + warmup)
     for i in range(warmup):
-        run_step(i, keys[i])
-    jax.block_until_ready(gen_params)
+        losses = run_chunk(i * inner, keys[i])
+    # NOTE: force completion via a scalar device->host pull — on the tunneled
+    # axon platform block_until_ready can return before execution finishes
+    float(losses[-1])
     t0 = time.perf_counter()
     for i in range(steps):
-        loss = run_step(i, keys[warmup + i])
-    jax.block_until_ready(gen_params)
+        losses = run_chunk((warmup + i) * inner, keys[warmup + i])
+    float(losses[-1])  # depends on the full chained-step sequence
     dt = time.perf_counter() - t0
-    its = steps / dt
+    its = steps * inner / dt
 
     baseline_gpu_its = 1.0  # nominal reference-GPU it/s (no published number)
     result = {

@@ -93,7 +93,7 @@ def test_render(setup):
     params = par.init(jax.random.PRNGKey(2))
     frame = build_render(par)(params, contrast=1.1)
     assert frame.shape == (48, 48, 3)
-    assert float(frame.min()) >= 0.0 and float(frame.max()) <= 1.0
+    assert frame.dtype == jnp.uint8
 
 
 def test_sharded_step_matches_single(setup):
