@@ -86,6 +86,12 @@ def get_args(argv=None):
     parser.add_argument('--aest_weights', default=None, help='Path to LAION aesthetic head checkpoint')
     parser.add_argument('--precision', default='auto', choices=['auto', 'bf16', 'fp32'])
     parser.add_argument('--seed', default=0, type=int)
+    parser.add_argument('--mesh', default=0, type=int,
+                        help='Shard the cutout batch over this many devices (0 = all single-chip)')
+    parser.add_argument('--profile', default=None,
+                        help='Capture a jax.profiler trace into this directory')
+    parser.add_argument('--pallas', action='store_true',
+                        help='Use the Pallas VMEM-resident cutout kernel')
     a = parser.parse_args(argv)
 
     if a.size is not None:
@@ -202,7 +208,8 @@ def run(a):
     prompts2 = build_prompt_groups(groups2) if groups2 else None
 
     # ---- step functions ---------------------------------------------------
-    sampler = CutoutSampler(tuple(a.size), a.samples, a.modsize, a.align, a.macro)
+    sampler = CutoutSampler(tuple(a.size), a.samples, a.modsize, a.align,
+                            a.macro, use_pallas=a.pallas)
     optimizer = build_optimizer(a.optimizer, a.lrate, a.steps, a.prog)
     settings = StepSettings(
         sim=a.sim or 'cossim', sharp=a.sharp if not a.dwt else 0.0,
@@ -210,8 +217,16 @@ def run(a):
         noise=a.noise, noise_centered=False, sync=a.sync,
         total_steps=max(a.steps // a.opt_step, 1), transform=a.transform,
         clip_dtype=dtype)
-    step1 = build_train_step(par, sampler, clip1.cfg, settings, optimizer)
-    step2 = (build_train_step(par, sampler, clip2.cfg, settings, optimizer)
+    mesh = None
+    if a.mesh:
+        from aphantasia_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(a.mesh, axes=("data",))
+        if a.verbose:
+            print(f' mesh: {a.mesh} devices (data-parallel cutouts)')
+    step1 = build_train_step(par, sampler, clip1.cfg, settings, optimizer,
+                             mesh=mesh)
+    step2 = (build_train_step(par, sampler, clip2.cfg, settings, optimizer,
+                              mesh=mesh)
              if clip2 else None)
     render = build_render(par)
     dm_nums = dualmod_steps(a.steps, a.dualmod) if a.dualmod else set()
@@ -225,9 +240,12 @@ def run(a):
     save_cfg(a, tempdir, 'config.txt')
 
     # ---- training loop ----------------------------------------------------
+    from aphantasia_tpu.profiling import trace
     opt_state = optimizer.init(gen_params)
     prev_enc = jnp.zeros((a.samples, clip1.cfg.embed_dim))
     pbar = get_progress_bar()(a.steps // a.opt_step)
+    prof = trace(a.profile)
+    prof.__enter__()
     for i in range(a.steps):
         key, k_step = jax.random.split(key)
         use2 = clip2 is not None and i in dm_nums
@@ -249,6 +267,8 @@ def run(a):
             from aphantasia_tpu.io.media import img_save
             img_save(os.path.join(tempdir, '%04d.jpg' % (i // a.opt_step)), img)
             pbar.upd()
+
+    prof.__exit__(None, None, None)
 
     # ---- assembly ---------------------------------------------------------
     frames_to_video(tempdir, os.path.join(a.out_dir, f'{out_name}.mp4'))

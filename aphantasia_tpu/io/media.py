@@ -45,7 +45,7 @@ def img_list(path, subdir=None):
 
 def img_read(path) -> np.ndarray:
     """Read image -> HWC RGB uint8-ish array (reference utils.py:69-77)."""
-    from imageio import imread
+    from imageio.v2 import imread
     img = imread(path)
     if img.ndim == 2 or img.shape[2] == 1:
         img = np.dstack((img, img, img))
@@ -55,7 +55,7 @@ def img_read(path) -> np.ndarray:
 
 
 def img_save(path, img, norm=True):
-    from imageio import imsave
+    from imageio.v2 import imsave
     img = np.asarray(img)
     if norm is True and not np.issubdtype(img.dtype, np.integer):
         img = (np.clip(img, 0, 1) * 255).astype(np.uint8)
@@ -87,7 +87,7 @@ def checkout(img, fname=None, verbose=False):
     if verbose is True:
         cvshow(img)
     if fname is not None:
-        from imageio import imsave
+        from imageio.v2 import imsave
         img = np.clip(img * 255, 0, 255).astype(np.uint8)
         imsave(fname, img)
 

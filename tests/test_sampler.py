@@ -103,3 +103,21 @@ def test_cut_gradient_flows_to_image():
     g = jax.grad(loss)(img)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_pallas_cutout_matches_xla():
+    """Pallas kernel (interpret mode on CPU) vs the XLA einsum path."""
+    import dataclasses
+    rs = np.random.RandomState(9)
+    img = jnp.asarray(rs.rand(3, 48, 64).astype(np.float32))
+    sx = CutoutSampler((48, 64), count=5, modsize=16)
+    sp = dataclasses.replace(sx, use_pallas=True)
+    boxes = sx.sample_boxes(jax.random.PRNGKey(2))
+    a = np.asarray(sx.cut(img, boxes))
+    b = np.asarray(sp.cut(img, boxes))
+    np.testing.assert_allclose(a, b, rtol=2e-2, atol=1e-2)  # bf16 kernel
+
+    ga = jax.grad(lambda im: jnp.sum(sx.cut(im, boxes) ** 2))(img)
+    gb = jax.grad(lambda im: jnp.sum(sp.cut(im, boxes) ** 2))(img)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), rtol=5e-2,
+                               atol=5e-2)
