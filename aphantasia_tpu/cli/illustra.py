@@ -191,67 +191,72 @@ def run(a):
     gen_params = None
     opt_state = None
 
-    for num in range(count):
-        if num == 0 or a.separate:
-            gen_params, sz = resume_fft(a.resume, [1, 3, *a.size], a.decay,
-                                        sd=0.08, key=jax.random.fold_in(k_init, num))
-            gen_params = jnp.asarray(np.asarray(gen_params, np.float32))
-            opt_state = optimizer.init(gen_params)
-        else:
-            # keep-chaining (illustra.py:271-286): rescale prev params,
-            # carry optimizer state
-            p = np.asarray(gen_params)
-            gen_params = jnp.asarray(a.keep * p / (p.max() - p.min()))
+    try:
+        # KeyboardInterrupt salvages completed scenes (reference illustra.py:310)
+        for num in range(count):
+            if num == 0 or a.separate:
+                gen_params, sz = resume_fft(a.resume, [1, 3, *a.size], a.decay,
+                                            sd=0.08, key=jax.random.fold_in(k_init, num))
+                gen_params = jnp.asarray(np.asarray(gen_params, np.float32))
+                opt_state = optimizer.init(gen_params)
+            else:
+                # keep-chaining (illustra.py:271-286): rescale prev params,
+                # carry optimizer state
+                p = np.asarray(gen_params)
+                gen_params = jnp.asarray(a.keep * p / (p.max() - p.min()))
 
-        prompts1 = groups_for(num, 1)
-        prompts2 = groups_for(num, 2) if clip2 else None
-        assert prompts1, ' Loss not defined, check inputs'
+            prompts1 = groups_for(num, 1)
+            prompts2 = groups_for(num, 2) if clip2 else None
+            assert prompts1, ' Loss not defined, check inputs'
 
-        out_names = []
-        if a.resume is not None and num == 0:
-            out_names += [basename(a.resume)[:12]]
-        if texts:
-            out_names += [txt_clean(pick_(texts, num, a.loop))[:32]]
-        if styles:
-            out_names += [txt_clean(pick_(styles, num, a.loop))[:32]]
-        out_name = '-'.join(out_names) + sfx
-        if count > 1:
-            out_name = '%04d-' % (num + 1) + out_name
-        if a.verbose:
-            print(out_name)
-        tempdir = os.path.join(workdir, out_name)
-        os.makedirs(tempdir, exist_ok=True)
-        if num == 0:
-            save_cfg(a, workdir, out_name + '.txt')
+            out_names = []
+            if a.resume is not None and num == 0:
+                out_names += [basename(a.resume)[:12]]
+            if texts:
+                out_names += [txt_clean(pick_(texts, num, a.loop))[:32]]
+            if styles:
+                out_names += [txt_clean(pick_(styles, num, a.loop))[:32]]
+            out_name = '-'.join(out_names) + sfx
+            if count > 1:
+                out_name = '%04d-' % (num + 1) + out_name
+            if a.verbose:
+                print(out_name)
+            tempdir = os.path.join(workdir, out_name)
+            os.makedirs(tempdir, exist_ok=True)
+            if num == 0:
+                save_cfg(a, workdir, out_name + '.txt')
 
-        prev_enc = jnp.zeros((a.samples, clip1.cfg.embed_dim))
-        pbar = get_progress_bar()(a.steps // a.save_step)
-        for i in range(a.steps):
-            key, k_step = jax.random.split(key)
-            use2 = clip2 is not None and i in dm_nums
-            step = step2 if use2 else step1
-            clip_w = clip2.params if use2 else clip1.params
-            gen_params, opt_state, prev_enc, loss = step(
-                gen_params, opt_state, prev_enc, clip_w,
-                aest2 if use2 else aest, None,
-                prompts2 if use2 else prompts1, k_step, jnp.int32(i))
-            if i % a.save_step == 0:
-                from aphantasia_tpu.io.media import img_save
-                img = np.asarray(render(gen_params, contrast=a.contrast))
-                img_save(os.path.join(tempdir,
-                                      '%04d.jpg' % (i // a.save_step)), img)
-                pbar.upd()
+            prev_enc = jnp.zeros((a.samples, clip1.cfg.embed_dim))
+            pbar = get_progress_bar()(a.steps // a.save_step)
+            for i in range(a.steps):
+                key, k_step = jax.random.split(key)
+                use2 = clip2 is not None and i in dm_nums
+                step = step2 if use2 else step1
+                clip_w = clip2.params if use2 else clip1.params
+                gen_params, opt_state, prev_enc, loss = step(
+                    gen_params, opt_state, prev_enc, clip_w,
+                    aest2 if use2 else aest, None,
+                    prompts2 if use2 else prompts1, k_step, jnp.int32(i))
+                if i % a.save_step == 0:
+                    from aphantasia_tpu.io.media import img_save
+                    img = np.asarray(render(gen_params, contrast=a.contrast))
+                    img_save(os.path.join(tempdir,
+                                          '%04d.jpg' % (i // a.save_step)), img)
+                    pbar.upd()
 
-        frames = img_list(tempdir)
-        if frames:
-            shutil.copy(frames[-1], os.path.join(
-                workdir, '%s-%d.jpg' % (out_name, a.steps)))
-        frames_to_video(tempdir, os.path.join(workdir, out_name + '.mp4'),
-                        fps=a.fps)
-        if a.save_pt:
-            # bare tensor for byte-parity (illustra.py:308)
-            save_pt('%s.pt' % os.path.join(workdir, out_name),
-                    np.asarray(gen_params))
+            frames = img_list(tempdir)
+            if frames:
+                shutil.copy(frames[-1], os.path.join(
+                    workdir, '%s-%d.jpg' % (out_name, a.steps)))
+            frames_to_video(tempdir, os.path.join(workdir, out_name + '.mp4'),
+                            fps=a.fps)
+            if a.save_pt:
+                # bare tensor for byte-parity (illustra.py:308)
+                save_pt('%s.pt' % os.path.join(workdir, out_name),
+                        np.asarray(gen_params))
+
+    except KeyboardInterrupt:
+        print(' interrupted — assembling completed scenes')
 
     # ---- final crossfade assembly (illustra.py:313-338) -------------------
     if not a.separate:

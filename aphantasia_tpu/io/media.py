@@ -124,3 +124,21 @@ def frames_to_video(frame_dir: str, out_path: str, pattern: str = "%04d.jpg",
     avi_path = os.path.splitext(out_path)[0] + ".avi"
     write_mjpeg_avi(avi_path, frames, fps=fps)
     return avi_path
+
+
+def plot_text(txt, size=224):
+    """Render text to an image via matplotlib (reference utils.py:18-27)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    fig = plt.figure(figsize=(1, 1), dpi=size)
+    fontsize = size // len(txt) if len(txt) < 15 else 8
+    plt.text(0.5, 0.5, txt, fontsize=fontsize, ha="center", va="center",
+             wrap=True)
+    plt.axis("off")
+    fig.tight_layout(pad=0)
+    fig.canvas.draw()
+    img = np.frombuffer(fig.canvas.buffer_rgba(), dtype=np.uint8)
+    img = img.reshape(fig.canvas.get_width_height()[::-1] + (4,))[:, :, :3]
+    plt.close(fig)
+    return img.copy()
