@@ -49,7 +49,7 @@ def main():
     par = FFTParameterizer(size, decay_power=1.5, colors=1.8)
     sampler = CutoutSampler(size, samples, cfg.image_resolution,
                             align="uniform", macro=0.4, chunk=chunk,
-                            use_pallas=on_tpu)
+                            use_pallas=False)
     settings = StepSettings(sim="mix", transform="fast", total_steps=200,
                             clip_dtype=dtype)
     optimizer = build_optimizer("adam_custom", 0.05)
