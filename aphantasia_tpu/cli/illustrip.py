@@ -332,7 +332,7 @@ def run(a):
         for ii in range(steps):
             glob_step = num * steps + ii
 
-            scale = float(m_scale[glob_step]) if a.anima else 1 + a.scale
+            scale = float(m_scale[glob_step, 0]) if a.anima else 1 + a.scale
             shift = (m_shift[glob_step] if a.anima else [0, a.shift])
             angle = float(m_angle[glob_step][0]) if a.anima else a.angle
             shear = float(m_shear[glob_step][0]) if a.anima else a.shear

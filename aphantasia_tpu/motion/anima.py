@@ -4,6 +4,14 @@ Behavioral parity with reference aphantasia/utils.py:299-396 (`latent_anima`,
 `lerp`, `slerp_np`, `cublerp`, `smoothstep`, `get_z`): random key points every
 `transit` frames interpolated by lerp/slerp/cubic-spline with smoothstep
 easing, optional gaussian smoothing and looping.
+
+The numeric behavior of these curves IS the spec (they shape every published
+animation), but the implementation here is restructured rather than ported:
+all segments interpolate in one broadcasted pass ([steps, transit, *shape])
+instead of the reference's nested per-step/per-frame Python loops, and the
+generalized smoothstep evaluates its binomial series via a precomputed
+coefficient vector.  The reference's `seed = np.random.seed(...)` bug
+(utils.py:362) is fixed by using an explicit RandomState.
 """
 from __future__ import annotations
 
@@ -21,56 +29,86 @@ def get_z(shape, rnd, uniform: bool = False):
 
 
 def smoothstep(x, nn=1.0, xmin=0.0, xmax=1.0):
-    """Generalized smoothstep (utils.py:305-313)."""
+    """Generalized smoothstep of (possibly fractional) order `nn`.
+
+    S_n(x) = x^(n+1) * sum_i C(n+i,i)*C(2n+1,n-i)*(-x)^i; fractional orders
+    average with the identity ramp (utils.py:305-313 semantics).
+    """
     n = math.ceil(nn)
-    x = np.clip((x - xmin) / (xmax - xmin), 0, 1)
-    result = 0
-    for i in range(0, n + 1):
-        result += (scipy.special.comb(n + i, i)
-                   * scipy.special.comb(2 * n + 1, n - i) * (-x) ** i)
-    result *= x ** (n + 1)
+    x = np.clip((np.asarray(x, dtype=float) - xmin) / (xmax - xmin), 0, 1)
+    i = np.arange(n + 1)
+    coef = scipy.special.comb(n + i, i) * scipy.special.comb(2 * n + 1, n - i)
+    # sum_i coef[i] * (-x)^i, evaluated as a polynomial in (-x)
+    series = np.polynomial.polynomial.polyval(-x, coef)
+    result = x ** (n + 1) * series
     if nn != n:
         result = (x + result) / 2
-    return result
+    return result if result.ndim else float(result)
 
 
-def lerp(z1, z2, num_steps, smooth: float = 0.0):
-    xs = [step / (num_steps - 1) for step in range(num_steps)]
-    if smooth > 0:
-        xs = [smoothstep(x, smooth) for x in xs]
-    return np.array([z1 + (z2 - z1) * x for x in xs])
+def _ease(num_steps: int, smooth: float) -> np.ndarray:
+    """The eased [0,1] sample grid shared by lerp/slerp."""
+    xs = np.linspace(0.0, 1.0, num_steps)
+    return smoothstep(xs, smooth) if smooth > 0 else xs
 
 
-def slerp_np(z1, z2, num_steps, smooth: float = 0.0):
-    """Hypersphere interpolation (utils.py:325-339)."""
-    z1_norm = np.linalg.norm(z1)
-    z2_norm = np.linalg.norm(z2)
-    z2_normal = z2 * (z1_norm / z2_norm)
-    vectors = []
-    xs = [step / (num_steps - 1) for step in range(num_steps)]
-    if smooth > 0:
-        xs = [smoothstep(x, smooth) for x in xs]
-    for x in xs:
-        interplain = z1 + (z2 - z1) * x
-        interp = z1 + (z2_normal - z1) * x
-        interp_norm = np.linalg.norm(interp)
-        vectors.append(interplain * (z1_norm / interp_norm))
-    return np.array(vectors)
+def lerp(z1, z2, num_steps, smooth: float = 0.0, batched: bool = False):
+    """Linear interpolation -> [num_steps, *z.shape].  With `batched`, axis 0
+    of z1/z2 is a segment batch and each segment interpolates independently."""
+    z1, z2 = np.asarray(z1, float), np.asarray(z2, float)
+    xs = _ease(num_steps, smooth).reshape((-1,) + (1,) * z1.ndim)
+    return z1[None] + (z2 - z1)[None] * xs
+
+
+def _norm(z, batched: bool):
+    """Norm over everything except the segment batch axis, kept broadcastable."""
+    axes = tuple(range(1 if batched else 0, z.ndim))
+    return np.sqrt(np.sum(z * z, axis=axes, keepdims=True))
+
+
+def slerp_np(z1, z2, num_steps, smooth: float = 0.0, batched: bool = False):
+    """Hypersphere interpolation (utils.py:325-339 semantics), vectorized:
+    the linear path is renormalized to the norm of the equal-norm chord."""
+    z1, z2 = np.asarray(z1, float), np.asarray(z2, float)
+    xs = _ease(num_steps, smooth).reshape((-1,) + (1,) * z1.ndim)
+    n1 = _norm(z1, batched)
+    n2 = _norm(z2, batched)
+    z2_equal = z2 * (n1 / n2)                                 # same norm as z1
+    plain = z1[None] + (z2 - z1)[None] * xs                   # [T, (S,) ...]
+    chord = z1[None] + (z2_equal - z1)[None] * xs
+    chord_norm = np.stack([_norm(c, batched) for c in chord])
+    return plain * (n1[None] / chord_norm)
 
 
 def cublerp(points, steps, fstep, looped: bool = True):
-    """Cubic-spline keypoint interpolation (utils.py:341-346)."""
-    keys = np.array([i * fstep for i in range(steps)] + [steps * fstep])
+    """Cubic-spline keypoint interpolation (utils.py:341-346 semantics)."""
+    keys = np.arange(steps + 1) * fstep
     last = 0 if looped else -1
-    points = np.concatenate((points, np.expand_dims(points[last], 0)))
-    return CubicSpline(keys, points)(range(steps * fstep + 1))
+    points = np.concatenate((points, points[last][None]))
+    return CubicSpline(keys, points)(np.arange(steps * fstep + 1))
+
+
+def _all_segments(key_latents, transit, smooth, uniform, looped):
+    """Interpolate every keypoint segment in ONE broadcasted pass.
+
+    key_latents [S, *shape] -> frames [S*transit, *shape]: segment i runs
+    from key i to key (i+1) (wrapping when looped, clamping otherwise).
+    """
+    steps = key_latents.shape[0]
+    nxt = ((np.arange(steps) + 1) % steps if looped
+           else np.minimum(np.arange(steps) + 1, steps - 1))
+    za, zb = key_latents, key_latents[nxt]                    # [S, *shape]
+    interp = lerp if uniform else slerp_np
+    segs = interp(za, zb, transit, smooth=smooth)             # [T, S, *shape]
+    segs = np.moveaxis(segs, 0, 1)                            # [S, T, *shape]
+    return segs.reshape((steps * transit,) + key_latents.shape[1:])
 
 
 def latent_anima(shape, frames, transit, key_latents=None, smooth: float = 0.5,
                  uniform: bool = False, cubic: bool = False, gauss: bool = False,
                  start_lat=None, seed=None, looped: bool = True,
                  verbose: bool = False):
-    """Random-keypoint scalar/vector timeline (utils.py:350-396)."""
+    """Random-keypoint scalar/vector timeline (utils.py:350-396 semantics)."""
     if key_latents is None:
         transit = int(max(1, min(frames // 2, transit)))
     steps = max(1, math.ceil(frames / transit))
@@ -85,21 +123,16 @@ def latent_anima(shape, frames, transit, key_latents=None, smooth: float = 0.5,
     if start_lat is not None:
         key_latents[0] = start_lat
 
-    latents = np.expand_dims(key_latents[0], 0)
     if transit == 1:
-        latents = key_latents
+        latents = np.asarray(key_latents)
     elif cubic:
         latents = cublerp(key_latents, steps, transit, looped)
         log += ", cubic"
     else:
-        for i in range(steps):
-            za = key_latents[i]
-            lat_num = (i + 1) % steps if looped else min(i + 1, steps - 1)
-            zb = key_latents[lat_num]
-            interps = (lerp(za, zb, transit, smooth=smooth) if uniform
-                       else slerp_np(za, zb, transit, smooth=smooth))
-            latents = np.concatenate((latents, interps))
-    latents = np.array(latents)
+        body = _all_segments(np.asarray(key_latents, float), transit, smooth,
+                             uniform, looped)
+        latents = np.concatenate((key_latents[0][None], body))
+    latents = np.asarray(latents)
 
     if gauss:
         lats_post = gaussian_filter(latents, [transit, 0, 0], mode="wrap")
