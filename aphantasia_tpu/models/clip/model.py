@@ -83,32 +83,68 @@ def quick_gelu(x):
     return x * jax.nn.sigmoid(1.702 * x)
 
 
-def mha(x, p, n_heads, mask=None):
-    """Multi-head self-attention with merged-qkv torch layout."""
+# Fused Pallas attention core (ops/pallas_attn.py): on by default on TPU,
+# where the XLA lowering of mha spends most of its time on [B,T,H,hd]
+# layout transposes and HBM-materialized score tensors.  Projections stay
+# in XLA (big batched matmuls), so all gradients remain exact.
+FUSED_ATTN = True
+
+
+def _fused_attn_active() -> bool:
+    return FUSED_ATTN and jax.default_backend() in ("tpu", "axon")
+
+
+def mha(x, p, n_heads, mask=None, causal=False, valid_t=None):
+    """Multi-head self-attention with merged-qkv torch layout.
+
+    `mask`/`causal`: the only mask this model family uses is the text
+    tower's causal tril (CLIP model.py build_attention_mask), so `causal`
+    fully describes it for the fused path.  `valid_t` marks the real token
+    count when the tower pre-padded T (see `_pad_tokens`)."""
     b, t, d = x.shape
     qkv = x @ p["in_w"].astype(x.dtype) + p["in_b"].astype(x.dtype)  # [b,t,3d]
-    q, k, v = jnp.split(qkv, 3, axis=-1)
-    hd = d // n_heads
-    q = q.reshape(b, t, n_heads, hd)
-    k = k.reshape(b, t, n_heads, hd)
-    v = v.reshape(b, t, n_heads, hd)
-    o = jax.nn.dot_product_attention(q, k, v, mask=mask)
-    o = o.reshape(b, t, d)
+    if _fused_attn_active():
+        from aphantasia_tpu.ops.pallas_attn import attention_core
+        o = attention_core(qkv, n_heads, causal or mask is not None, valid_t)
+    else:
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        hd = d // n_heads
+        q = q.reshape(b, t, n_heads, hd)
+        k = k.reshape(b, t, n_heads, hd)
+        v = v.reshape(b, t, n_heads, hd)
+        if mask is None and causal:
+            mask = jnp.tril(jnp.ones((t, t), dtype=bool))[None, None]
+        o = jax.nn.dot_product_attention(q, k, v, mask=mask)
+        o = o.reshape(b, t, d)
     return o @ p["out_w"].astype(x.dtype) + p["out_b"].astype(x.dtype)
 
 
-def resblock(x, p, n_heads, mask=None):
-    x = x + mha(layer_norm(x, p["ln_1"]), p["attn"], n_heads, mask)
+def resblock(x, p, n_heads, mask=None, causal=False, valid_t=None):
+    x = x + mha(layer_norm(x, p["ln_1"]), p["attn"], n_heads, mask,
+                causal=causal, valid_t=valid_t)
     h = layer_norm(x, p["ln_2"])
     h = quick_gelu(h @ p["mlp"]["fc_w"].astype(x.dtype) + p["mlp"]["fc_b"].astype(x.dtype))
     h = h @ p["mlp"]["proj_w"].astype(x.dtype) + p["mlp"]["proj_b"].astype(x.dtype)
     return x + h
 
 
-def transformer(x, blocks, n_heads, mask=None):
+def transformer(x, blocks, n_heads, mask=None, causal=False, valid_t=None):
     for p in blocks:
-        x = resblock(x, p, n_heads, mask)
+        x = resblock(x, p, n_heads, mask, causal=causal, valid_t=valid_t)
     return x
+
+
+def _pad_tokens(x):
+    """Pad T once for the whole block stack (fused path): padded rows mix
+    with real rows only through attention keys, which the fused kernel
+    masks via valid_t — LN/MLP/residual are row-local, so garbage in the
+    pad rows never reaches real rows.  Returns (x_padded, valid_t)."""
+    t = x.shape[1]
+    tile = 16 if x.dtype == jnp.bfloat16 else 8
+    t_pad = -(-t // tile) * tile
+    if t_pad == t or not _fused_attn_active():
+        return x, None
+    return jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0))), t
 
 
 # ------------------------------------------------------------------ ViT
@@ -127,7 +163,8 @@ def vit_encode(params, cfg: CLIPConfig, x, dtype=jnp.float32):
     x = jnp.concatenate([cls, x], axis=1)
     x = x + params["pos_emb"].astype(dtype)
     x = layer_norm(x, params["ln_pre"])
-    x = transformer(x, params["blocks"], cfg.vision_heads)
+    x, valid_t = _pad_tokens(x)      # cls token is row 0 — pad rows unread
+    x = transformer(x, params["blocks"], cfg.vision_heads, valid_t=valid_t)
     x = layer_norm(x[:, 0], params["ln_post"])
     return x @ params["proj"].astype(dtype)
 
@@ -207,8 +244,12 @@ def text_encode_fn(params, cfg: CLIPConfig, tokens, dtype=jnp.float32):
     x = t["token_embedding"][tokens].astype(dtype)
     x = x + t["positional_embedding"].astype(dtype)
     n = cfg.context_length
-    mask = jnp.tril(jnp.ones((n, n), dtype=bool))[None, None]
-    x = transformer(x, t["blocks"], cfg.transformer_heads, mask=mask)
+    x, valid_t = _pad_tokens(x)      # eot index < n — pad rows unread
+    mask = (None if _fused_attn_active()
+            else jnp.tril(jnp.ones((n, n), dtype=bool))[None, None])
+    x = transformer(x, t["blocks"], cfg.transformer_heads, mask=mask,
+                    causal=True, valid_t=valid_t)
+    x = x[:, :n]
     x = layer_norm(x, t["ln_final"])
     eot = jnp.argmax(tokens, axis=-1)
     x = x[jnp.arange(x.shape[0]), eot]

@@ -112,21 +112,34 @@ class CutoutSampler:
         m = self.modsize
         yidx, yw = resize_axis_taps(m, boxes.csize, boxes.offy)
         xidx, xw = resize_axis_taps(m, boxes.csize, boxes.offx)
-        y_map, x_map = self.index_maps
-        yidx = jnp.asarray(y_map)[yidx]
-        xidx = jnp.asarray(x_map)[xidx]
+        if self.padded_size != tuple(self.frame_size):
+            # overscan/overmax only: padded->source via the tile maps.
+            # (a table gather costs ~2ms at 200x224x4 on TPU — skip when
+            # the map is the identity, i.e. no tiling pad)
+            y_map, x_map = self.index_maps
+            yidx = jnp.asarray(y_map)[yidx]
+            xidx = jnp.asarray(x_map)[xidx]
         return yidx, yw, xidx, xw
 
     def weight_matrices(self, boxes: Boxes):
-        """Dense per-sample interpolation matrices Wy [S,M,H], Wx [S,M,W]."""
+        """Dense per-sample interpolation matrices Wy [S,M,H], Wx [S,M,W].
+
+        Built by 4 iota-compare accumulation passes (one per bicubic tap)
+        instead of a scatter-add — scatters lower to a serialized op on TPU
+        (~2x the whole contraction's cost); the compares are plain VPU work
+        that XLA fuses into one pass over the output."""
         h, w = self.frame_size
         yidx, yw, xidx, xw = self.tap_indices(boxes)
-        s, m, _ = yidx.shape
-        rows = jnp.broadcast_to(jnp.arange(m)[None, :, None], yidx.shape)
-        samp = jnp.broadcast_to(jnp.arange(s)[:, None, None], yidx.shape)
-        wy = jnp.zeros((s, m, h), jnp.float32).at[samp, rows, yidx].add(yw)
-        wx = jnp.zeros((s, m, w), jnp.float32).at[samp, rows, xidx].add(xw)
-        return wy, wx
+
+        def dense(idx, wts, n):
+            iota = jnp.arange(n, dtype=jnp.int32)[None, None, :]
+            acc = jnp.zeros(idx.shape[:2] + (n,), jnp.float32)
+            for a in range(4):   # taps can repeat an index at crop borders
+                acc = acc + jnp.where(iota == idx[:, :, a:a + 1],
+                                      wts[:, :, a:a + 1], 0.0)
+            return acc
+
+        return dense(yidx, yw, h), dense(xidx, xw, w)
 
     # ---------------- the cutout op ---------------------------------------
 

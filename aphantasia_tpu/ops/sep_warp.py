@@ -32,8 +32,8 @@ import functools
 def _dft_mats(n: int):
     """Real DFT analysis/synthesis matrices (numpy, cached per length).
 
-    XLA's TPU FFT lowering is far off the roofline for these shapes; four
-    MXU matmuls beat it by an order of magnitude.  Returns
+    XLA's TPU FFT lowering is far off the roofline for these shapes; MXU
+    matmuls beat it by an order of magnitude.  Returns
     (cos_f [n,nf], sin_f [n,nf], cos_i [nf,n], sin_i [nf,n]) with the
     irfft weighting folded into the synthesis matrices."""
     nf = n // 2 + 1
@@ -51,27 +51,44 @@ def _dft_mats(n: int):
     return cos_f, sin_f, cos_i, sin_i
 
 
-def fractional_shift(x: jnp.ndarray, shift: jnp.ndarray, axis: int) -> jnp.ndarray:
+@functools.lru_cache(maxsize=32)
+def _dft_mats_packed(n: int):
+    """Analysis [n, 2nf] = [cos|sin] and synthesis [2nf, n] = [[cos],[-sin]]
+    so each shift pass is exactly TWO matmuls instead of four."""
+    cos_f, sin_f, cos_i, sin_i = _dft_mats(n)
+    analysis = np.concatenate([cos_f, sin_f], axis=1)             # [n, 2nf]
+    synthesis = np.concatenate([cos_i, -sin_i], axis=0)           # [2nf, n]
+    return analysis, synthesis
+
+
+def fractional_shift(x: jnp.ndarray, shift: jnp.ndarray, axis: int,
+                     compute_dtype=None) -> jnp.ndarray:
     """Per-slice fractional translation along `axis` via DFT phase — the
-    transform runs as MXU matmuls (see _dft_mats), the phase multiply on
-    the VPU.
+    transform runs as two packed MXU matmuls (see _dft_mats_packed), the
+    phase multiply on the VPU in fp32.
 
     x     : [..., N] with `axis` moved last internally
     shift : broadcastable to x.shape without the shifted axis; positive shift
             moves content toward higher indices (out[i] = in[i - shift]).
+    compute_dtype: matmul operand dtype (bf16 halves the HBM traffic of the
+            [..., 2nf] spectra; accumulation stays fp32).
     """
-    x = jnp.moveaxis(x, axis, -1).astype(jnp.float32)
+    dt = compute_dtype or jnp.float32
+    x = jnp.moveaxis(x, axis, -1)
     n = x.shape[-1]
     nf = n // 2 + 1
-    cos_f, sin_f, cos_i, sin_i = (jnp.asarray(m) for m in _dft_mats(n))
-    fr = x @ cos_f                                   # [..., nf]
-    fi = x @ sin_f
+    analysis, synthesis = (jnp.asarray(m, dt) for m in _dft_mats_packed(n))
+    ndim = x.ndim
+    cdims = (((ndim - 1,), (0,)), ((), ()))
+    f = jax.lax.dot_general(x.astype(dt), analysis, cdims,
+                            preferred_element_type=jnp.float32)   # [..., 2nf]
+    fr, fi = f[..., :nf], f[..., nf:]
     k = jnp.arange(nf, dtype=jnp.float32)
     phi = -2.0 * np.pi * k * shift[..., None] / n
     c, s = jnp.cos(phi), jnp.sin(phi)
-    gr = fr * c - fi * s
-    gi = fr * s + fi * c
-    out = gr @ cos_i - gi @ sin_i
+    g = jnp.concatenate([fr * c - fi * s, fr * s + fi * c], axis=-1)
+    out = jax.lax.dot_general(g.astype(dt), synthesis, cdims,
+                              preferred_element_type=jnp.float32)
     return jnp.moveaxis(out, -1, axis)
 
 
@@ -134,7 +151,7 @@ def affine_warp(cuts: jnp.ndarray, affines: jnp.ndarray, pad: int = 64,
 
     # --- L pass: src_y = y + l*x  =>  shift = -(l*x) per column ------------
     shift_y = -(l[:, None] * xs[None, :])                          # [S,Wp]
-    x = fractional_shift(x, shift_y[:, None, :], axis=-2)
+    x = fractional_shift(x, shift_y[:, None, :], axis=-2, compute_dtype=dt)
 
     # --- D pass with translation L^-1 t = (tx, ty - l*tx) as offsets -------
     off_x = t[:, 0]
@@ -148,7 +165,7 @@ def affine_warp(cuts: jnp.ndarray, affines: jnp.ndarray, pad: int = 64,
 
     # --- U pass: x-shift per row: src_x = x + u*y  =>  shift = -(u*y) ------
     shift_x = -(u[:, None] * ys[None, :])                          # [S,Hp]
-    x = fractional_shift(x, shift_x[:, None, :], axis=-1)
+    x = fractional_shift(x, shift_x[:, None, :], axis=-1, compute_dtype=dt)
 
     out = x[:, :, pad:pad + h, pad:pad + w]
     if fill != 0.0:
