@@ -72,9 +72,12 @@ XMEM = {"ViT-B/16": 0.25, "ViT-L/14": 0.04, "RN50": 0.5, "RN50x4": 0.16,
 # ------------------------------------------------------------------ layers
 
 def layer_norm(x, p, eps=1e-5):
+    # one-pass moments (E[x^2]-E[x]^2): a single fused reduction instead of
+    # two chained ones; LN inputs are centered activations, so the
+    # cancellation risk of the one-pass form is negligible at fp32
     xf = x.astype(jnp.float32)
     mu = xf.mean(-1, keepdims=True)
-    var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+    var = jnp.mean(xf * xf, -1, keepdims=True) - mu * mu
     y = (xf - mu) * jax.lax.rsqrt(var + eps)
     return (y * p["g"] + p["b"]).astype(x.dtype)
 
@@ -134,17 +137,28 @@ def transformer(x, blocks, n_heads, mask=None, causal=False, valid_t=None):
     return x
 
 
+def _padded_t(t: int, dtype) -> int:
+    """T padded to the sublane tile of `dtype` (the fused attention kernel's
+    sample-merge needs tile-aligned rows)."""
+    tile = 16 if dtype == jnp.bfloat16 else 8
+    return -(-t // tile) * tile
+
+
 def _pad_tokens(x):
     """Pad T once for the whole block stack (fused path): padded rows mix
     with real rows only through attention keys, which the fused kernel
     masks via valid_t — LN/MLP/residual are row-local, so garbage in the
-    pad rows never reaches real rows.  Returns (x_padded, valid_t)."""
+    pad rows never reaches real rows.  Returns (x_padded, valid_t).
+
+    NOTE (vision tower): prefer folding the pad into the embedding concat
+    (see vit_encode) — a mid-tower pad op skews XLA layout assignment."""
     t = x.shape[1]
-    tile = 16 if x.dtype == jnp.bfloat16 else 8
-    t_pad = -(-t // tile) * tile
+    t_pad = _padded_t(t, x.dtype)
     if t_pad == t or not _fused_attn_active():
         return x, None
-    return jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0))), t
+    return jnp.concatenate(
+        [x, jnp.zeros((x.shape[0], t_pad - t, x.shape[-1]), x.dtype)],
+        axis=1), t
 
 
 # ------------------------------------------------------------------ ViT
@@ -160,10 +174,29 @@ def vit_encode(params, cfg: CLIPConfig, x, dtype=jnp.float32):
     x = x.transpose(0, 2, 4, 1, 3, 5).reshape(b, gh * gw, c * p * p)
     x = x @ params["conv"].astype(dtype)
     cls = jnp.broadcast_to(params["class_emb"].astype(dtype), (b, 1, x.shape[-1]))
-    x = jnp.concatenate([cls, x], axis=1)
-    x = x + params["pos_emb"].astype(dtype)
+    # token pad folded into the embedding concat: a mid-tower jnp.pad makes
+    # XLA assign a {2,0,1} activation layout that drags every transformer
+    # matmul below 20% MFU; zero-token concat here keeps {2,1,0}.  Pad rows
+    # are key-masked in attention (valid_t) and row-local everywhere else;
+    # only the cls row (row 0) is ever read out.
+    t_real = 1 + x.shape[1]
+    t_pad = _padded_t(t_real, dtype)
+    if t_pad != t_real and _fused_attn_active():
+        # dynamic-update-slice instead of concat: an axis-1 concat makes
+        # XLA pick a dim1-major {2,0,1} activation layout that the residual
+        # chain then carries through every transformer matmul
+        base = jnp.zeros((b, t_pad, x.shape[-1]), dtype)
+        base = jax.lax.dynamic_update_slice(base, cls, (0, 0, 0))
+        x = jax.lax.dynamic_update_slice(base, x, (0, 1, 0))
+        valid_t = t_real
+    else:
+        x = jnp.concatenate([cls, x], axis=1)
+        valid_t = None
+    pos = params["pos_emb"].astype(dtype)
+    if valid_t is not None:
+        pos = jnp.pad(pos, ((0, x.shape[1] - pos.shape[0]), (0, 0)))
+    x = x + pos
     x = layer_norm(x, params["ln_pre"])
-    x, valid_t = _pad_tokens(x)      # cls token is row 0 — pad rows unread
     x = transformer(x, params["blocks"], cfg.vision_heads, valid_t=valid_t)
     x = layer_norm(x[:, 0], params["ln_post"])
     return x @ params["proj"].astype(dtype)

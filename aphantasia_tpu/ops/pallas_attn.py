@@ -52,13 +52,6 @@ def _merged_bias(bb: int, t_pad: int, t: int, causal: bool) -> jnp.ndarray:
     return jnp.where(ok, 0.0, -1e30).astype(jnp.float32)
 
 
-def _head(qkv_ref, which, h_i, d, hd, n):
-    """Slice head h_i of q/k/v ([bb,t_pad,3D] ref) as [bb*t_pad, hd]."""
-    base = which * d + h_i * hd
-    x = qkv_ref[:, :, base:base + hd]
-    return x.reshape(n, hd)
-
-
 def _fwd_kernel(qkv_ref, o_ref, *, bb, n_heads, t, causal):
     t_pad, d3 = qkv_ref.shape[1], qkv_ref.shape[2]
     d = d3 // 3
@@ -66,22 +59,23 @@ def _fwd_kernel(qkv_ref, o_ref, *, bb, n_heads, t, causal):
     n = bb * t_pad
     scale = 1.0 / np.sqrt(hd)
     bias = _merged_bias(bb, t_pad, t, causal)
+    qkv = qkv_ref[...].reshape(n, d3)    # ONE sample merge, then lane slices
 
     outs = []
     for h_i in range(n_heads):
-        q = _head(qkv_ref, 0, h_i, d, hd, n)
-        k = _head(qkv_ref, 1, h_i, d, hd, n)
-        v = _head(qkv_ref, 2, h_i, d, hd, n)
+        q = qkv[:, h_i * hd:(h_i + 1) * hd]
+        k = qkv[:, d + h_i * hd:d + (h_i + 1) * hd]
+        v = qkv[:, 2 * d + h_i * hd:2 * d + (h_i + 1) * hd]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
         s = s + bias
         m = jnp.max(s, -1, keepdims=True)
         e = jnp.exp(s - m)
-        p = (e / jnp.sum(e, -1, keepdims=True)).astype(qkv_ref.dtype)
+        p = (e / jnp.sum(e, -1, keepdims=True)).astype(qkv.dtype)
         o = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        outs.append(o.astype(o_ref.dtype).reshape(bb, t_pad, hd))
-    o_ref[...] = jnp.concatenate(outs, axis=-1)
+        outs.append(o.astype(o_ref.dtype))
+    o_ref[...] = jnp.concatenate(outs, axis=-1).reshape(bb, t_pad, d)
 
 
 def _bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, bb, n_heads, t, causal):
@@ -91,35 +85,38 @@ def _bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, bb, n_heads, t, causal):
     n = bb * t_pad
     scale = 1.0 / np.sqrt(hd)
     bias = _merged_bias(bb, t_pad, t, causal)
+    qkv = qkv_ref[...].reshape(n, d3)
+    do = do_ref[...].reshape(n, d)
 
     dq_parts, dk_parts, dv_parts = [], [], []
     for h_i in range(n_heads):
-        q = _head(qkv_ref, 0, h_i, d, hd, n)
-        k = _head(qkv_ref, 1, h_i, d, hd, n)
-        v = _head(qkv_ref, 2, h_i, d, hd, n)
-        do_h = do_ref[:, :, h_i * hd:(h_i + 1) * hd].reshape(n, hd)
+        q = qkv[:, h_i * hd:(h_i + 1) * hd]
+        k = qkv[:, d + h_i * hd:d + (h_i + 1) * hd]
+        v = qkv[:, 2 * d + h_i * hd:2 * d + (h_i + 1) * hd]
+        do_h = do[:, h_i * hd:(h_i + 1) * hd]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
         s = s + bias
         m = jnp.max(s, -1, keepdims=True)
         e = jnp.exp(s - m)
         p32 = e / jnp.sum(e, -1, keepdims=True)                   # [n,n] f32
-        p = p32.astype(qkv_ref.dtype)
+        p = p32.astype(qkv.dtype)
         dv = jax.lax.dot_general(p, do_h, (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(do_h, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         ds = p32 * (dp - jnp.sum(dp * p32, -1, keepdims=True))
-        ds = (ds * scale).astype(qkv_ref.dtype)
+        ds = (ds * scale).astype(qkv.dtype)
         dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         dt = dqkv_ref.dtype
-        dq_parts.append(dq.astype(dt).reshape(bb, t_pad, hd))
-        dk_parts.append(dk.astype(dt).reshape(bb, t_pad, hd))
-        dv_parts.append(dv.astype(dt).reshape(bb, t_pad, hd))
-    dqkv_ref[...] = jnp.concatenate(dq_parts + dk_parts + dv_parts, axis=-1)
+        dq_parts.append(dq.astype(dt))
+        dk_parts.append(dk.astype(dt))
+        dv_parts.append(dv.astype(dt))
+    dqkv = jnp.concatenate(dq_parts + dk_parts + dv_parts, axis=-1)
+    dqkv_ref[...] = dqkv.reshape(bb, t_pad, d3)
 
 
 def _tile(dtype) -> int:
