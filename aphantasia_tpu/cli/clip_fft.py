@@ -24,12 +24,13 @@ from aphantasia_tpu.params.fft import FFTParameterizer, resume_fft
 from aphantasia_tpu.params.dwt import DWTParameterizer, resume_dwt
 from aphantasia_tpu.ops.sampler import CutoutSampler
 from aphantasia_tpu.ops.optim import build_optimizer
-from aphantasia_tpu.ops.losses import aesthetic_init, aesthetic_load, aesthetic_dims
-from aphantasia_tpu.models.lpips import lpips_init
+from aphantasia_tpu.ops.losses import aesthetic_get, aesthetic_dims
+from aphantasia_tpu.models.lpips import lpips_get
 from aphantasia_tpu.parallel.step import StepSettings, build_train_step, build_render
 from aphantasia_tpu.cli.common import (
     ClipWrapper, parse_size, apply_sample_budget, build_prompt_groups,
-    dualmod_steps, maybe_translate, resolve_dtype)
+    dualmod_steps, maybe_translate, resolve_dtype, add_parallel_flags,
+    setup_mesh, apply_platform)
 from aphantasia_tpu.io.media import img_read, checkout, img_list, frames_to_video
 from aphantasia_tpu.io.checkpoint import save_pt
 from aphantasia_tpu.ops.resize import resize_bicubic
@@ -84,14 +85,10 @@ def get_args(argv=None):
     # TPU-specific
     parser.add_argument('--clip_weights', default=None, help='Path to CLIP checkpoint (OpenAI .pt or HF); random init if absent')
     parser.add_argument('--aest_weights', default=None, help='Path to LAION aesthetic head checkpoint')
+    parser.add_argument('--lpips_weights', default=None, help='Path to VGG16+lin LPIPS checkpoint (--sync)')
     parser.add_argument('--precision', default='auto', choices=['auto', 'bf16', 'fp32'])
     parser.add_argument('--seed', default=0, type=int)
-    parser.add_argument('--mesh', default=0, type=int,
-                        help='Shard the cutout batch over this many devices (0 = all single-chip)')
-    parser.add_argument('--profile', default=None,
-                        help='Capture a jax.profiler trace into this directory')
-    parser.add_argument('--pallas', action='store_true',
-                        help='Use the Pallas VMEM-resident cutout kernel')
+    add_parallel_flags(parser)
     a = parser.parse_args(argv)
 
     if a.size is not None:
@@ -110,6 +107,7 @@ def main(argv=None):
 
 
 def run(a):
+    apply_platform()
     key = jax.random.PRNGKey(a.seed)
     key, k_init, k_clip, k_img = jax.random.split(key, 4)
     dtype = resolve_dtype(a.precision)
@@ -145,10 +143,10 @@ def run(a):
     # ---- aesthetic head ---------------------------------------------------
     aest = aest2 = None
     if a.aest != 0 and aesthetic_dims(a.model):
-        aest = (aesthetic_load(a.aest_weights) if a.aest_weights
-                else aesthetic_init(jax.random.PRNGKey(7), a.model))
+        aest = aesthetic_get(jax.random.PRNGKey(7), a.model, a.aest_weights)
         if a.dualmod is not None:
-            aest2 = aesthetic_init(jax.random.PRNGKey(8), 'ViT-B/16')
+            aest2 = aesthetic_get(jax.random.PRNGKey(8), 'ViT-B/16',
+                                  a.aest_weights)
 
     # ---- prompts ----------------------------------------------------------
     sign = 1.0 if a.invert else -1.0
@@ -195,7 +193,7 @@ def run(a):
         if a.sync > 0:
             sim_size = [s // 2 for s in a.size]
             img_in = resize_bicubic(img_t, sim_size)
-            lpips_params = lpips_init(jax.random.PRNGKey(9))
+            lpips_params = lpips_get(jax.random.PRNGKey(9), a.lpips_weights)
             lpips_bundle = (lpips_params, img_in)
         out_name.append(os.path.splitext(os.path.basename(a.in_img))[0]
                         .replace(' ', '_'))
@@ -217,12 +215,7 @@ def run(a):
         noise=a.noise, noise_centered=False, sync=a.sync,
         total_steps=max(a.steps // a.opt_step, 1), transform=a.transform,
         clip_dtype=dtype)
-    mesh = None
-    if a.mesh:
-        from aphantasia_tpu.parallel.mesh import make_mesh
-        mesh = make_mesh(a.mesh, axes=("data",))
-        if a.verbose:
-            print(f' mesh: {a.mesh} devices (data-parallel cutouts)')
+    mesh = setup_mesh(a.mesh, (clip1, clip2), a.verbose)
     step1 = build_train_step(par, sampler, clip1.cfg, settings, optimizer,
                              mesh=mesh)
     step2 = (build_train_step(par, sampler, clip2.cfg, settings, optimizer,

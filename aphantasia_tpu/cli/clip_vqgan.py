@@ -23,7 +23,7 @@ from aphantasia_tpu.ops.optim import build_optimizer
 from aphantasia_tpu.parallel.step import StepSettings, build_train_step
 from aphantasia_tpu.cli.common import (
     ClipWrapper, parse_size, apply_sample_budget, build_prompt_groups,
-    maybe_translate, resolve_dtype)
+    maybe_translate, resolve_dtype, add_parallel_flags, setup_mesh, apply_platform)
 from aphantasia_tpu.io.media import img_read, img_list, img_save, frames_to_video
 from aphantasia_tpu.io.checkpoint import save_pt, load_pt
 from aphantasia_tpu.utils import txt_clean, save_cfg
@@ -59,6 +59,7 @@ def get_args(argv=None):
     parser.add_argument('--clip_weights', default=None)
     parser.add_argument('--precision', default='auto', choices=['auto', 'bf16', 'fp32'])
     parser.add_argument('--seed', default=0, type=int)
+    add_parallel_flags(parser)
     a = parser.parse_args(argv)
     a.size = parse_size(a.size)
     return a
@@ -70,6 +71,7 @@ def main(argv=None):
 
 
 def run(a):
+    apply_platform()
     key = jax.random.PRNGKey(a.seed)
     key, k_clip, k_init, k_dec = jax.random.split(key, 4)
     dtype = resolve_dtype(a.precision)
@@ -77,8 +79,13 @@ def run(a):
     # snap size to the decoder stride
     a.size = [s - s % cfg_v.f for s in a.size]
 
-    dec_params = (convert_taming(a.vqgan_weights, cfg_v) if a.vqgan_weights
-                  else vqgan_init(k_dec, cfg_v))
+    from aphantasia_tpu.weights import env_weights, warn_random
+    vq_path = env_weights('vqgan', a.vqgan_weights)
+    if vq_path:
+        dec_params = convert_taming(vq_path, cfg_v)
+    else:
+        warn_random('vqgan decoder')
+        dec_params = vqgan_init(k_dec, cfg_v)
     par = VQGANParameterizer(tuple(a.size), cfg_v, dec_params)
 
     clip1 = ClipWrapper(a.model, a.clip_weights, key=k_clip)
@@ -113,11 +120,13 @@ def run(a):
         gen_params = par.init(k_init)
 
     sampler = CutoutSampler(tuple(a.size), a.samples, clip1.modsize, a.align,
-                            a.macro)
+                            a.macro, use_pallas=a.pallas)
+    mesh = setup_mesh(a.mesh, (clip1,), a.verbose)
     optimizer = build_optimizer('adam_custom', a.lrate)
     settings = StepSettings(sim=a.sim or 'cossim', total_steps=a.steps,
                             transform=a.transform, clip_dtype=dtype)
-    step = build_train_step(par, sampler, clip1.cfg, settings, optimizer)
+    step = build_train_step(par, sampler, clip1.cfg, settings, optimizer,
+                            mesh=mesh)
     render = jax.jit(lambda p: (jnp.clip(
         par.image(p)[0].transpose(1, 2, 0), 0, 1) * 255 + 0.5).astype(jnp.uint8))
 
@@ -130,6 +139,9 @@ def run(a):
     opt_state = optimizer.init(gen_params)
     prev_enc = jnp.zeros((a.samples, clip1.cfg.embed_dim))
     pbar = get_progress_bar()(a.steps)
+    from aphantasia_tpu.profiling import trace
+    prof = trace(a.profile)
+    prof.__enter__()
     for i in range(a.steps):
         key, k_step = jax.random.split(key)
         gen_params, opt_state, prev_enc, loss = step(
@@ -139,6 +151,7 @@ def run(a):
                  np.asarray(render(gen_params)))
         pbar.upd()
 
+    prof.__exit__(None, None, None)
     frames_to_video(tempdir, os.path.join(a.out_dir, out_name + '.mp4'))
     frames = img_list(tempdir)
     if frames:

@@ -19,6 +19,21 @@ from aphantasia_tpu.params.color import clip_normalize
 from aphantasia_tpu.ops.sampler import CutoutSampler
 
 
+def apply_platform():
+    """Make JAX_PLATFORMS from the user's environment win.
+
+    Hosted TPU containers may pin the platform programmatically via
+    jax.config at interpreter start (sitecustomize), which beats the env
+    var — so `JAX_PLATFORMS=cpu python -m aphantasia_tpu.cli...` would
+    silently run on the TPU.  Called at the top of every CLI run()."""
+    want = os.environ.get("JAX_PLATFORMS")
+    if want:
+        try:
+            jax.config.update("jax_platforms", want)
+        except Exception:
+            pass  # backends already initialized — keep whatever is live
+
+
 def parse_size(size_str):
     """'1280-720' -> [720, 1280] (reference clip_fft.py:80-81)."""
     size = [int(s) for s in size_str.split("-")][::-1]
@@ -111,6 +126,55 @@ def build_prompt_groups(groups):
 def dualmod_steps(steps: int, dualmod: int):
     """Step indices handled by the second model (clip_fft.py:135)."""
     return set(list(range(steps))[dualmod::dualmod])
+
+
+def add_parallel_flags(parser):
+    """--mesh / --profile / --pallas, shared by every CLI (VERDICT r1 §6-7).
+
+    --mesh 'N' shards the cutout batch over N devices (data parallel);
+    --mesh 'NxM' additionally shards CLIP transformer weights over M
+    devices (tensor parallel — for RN50x64/ViT-L scale towers)."""
+    parser.add_argument('--mesh', default=None,
+                        help="'N' = data-parallel cutouts over N devices; "
+                             "'NxM' = data x model (tensor-parallel CLIP)")
+    parser.add_argument('--profile', default=None,
+                        help='Capture a jax.profiler trace into this directory')
+    parser.add_argument('--pallas', action='store_true',
+                        help='Use the Pallas VMEM-resident cutout kernel')
+    return parser
+
+
+def setup_mesh(spec, clip_wrappers=(), verbose=True):
+    """Build the mesh from a CLI spec and lay out CLIP params on it.
+
+    Returns the Mesh (or None).  With a model axis, every ClipWrapper's
+    params are resharded tensor-parallel in place, and the fused Pallas
+    attention is disabled (XLA cannot partition the custom call; the plain
+    einsum path partitions cleanly under SPMD)."""
+    if not spec or str(spec) in ("0", "1"):
+        return None
+    from aphantasia_tpu.parallel.mesh import (make_mesh, make_mesh_2d,
+                                              shard_clip_params)
+    s = str(spec).lower()
+    try:
+        if "x" in s:
+            dp, tp = (int(v) for v in s.split("x"))
+            mesh = make_mesh_2d(dp, tp)
+        else:
+            mesh = make_mesh(int(s), axes=("data",))
+    except ValueError as e:
+        raise SystemExit(
+            f"--mesh expects 'N' (data-parallel) or 'NxM' (data x model), "
+            f"got {spec!r}: {e}") from None
+    if "model" in mesh.axis_names and mesh.shape["model"] > 1:
+        import aphantasia_tpu.models.clip.model as clip_model
+        clip_model.FUSED_ATTN = False
+        for w in clip_wrappers:
+            if w is not None:
+                w.params = shard_clip_params(w.params, mesh)
+    if verbose:
+        print(f" mesh: {dict(mesh.shape)}")
+    return mesh
 
 
 def maybe_translate(texts, enabled: bool, verbose=True):

@@ -17,11 +17,11 @@ import jax.numpy as jnp
 from aphantasia_tpu.params.cppn import (
     CPPNParameterizer, export_npy, load_npy, to_shader_layers)
 from aphantasia_tpu.ops.sampler import CutoutSampler
-from aphantasia_tpu.ops.losses import aesthetic_init, aesthetic_dims
+from aphantasia_tpu.ops.losses import aesthetic_get, aesthetic_dims
 from aphantasia_tpu.parallel.step import StepSettings, build_train_step
 from aphantasia_tpu.cli.common import (
     ClipWrapper, parse_size, build_prompt_groups, dualmod_steps,
-    maybe_translate, resolve_dtype)
+    maybe_translate, resolve_dtype, add_parallel_flags, setup_mesh, apply_platform)
 from aphantasia_tpu.models.clip.model import XMEM
 from aphantasia_tpu.io.media import img_read, img_list, checkout, frames_to_video, basename
 from aphantasia_tpu.shader_expo import export_all
@@ -65,8 +65,10 @@ def get_args(argv=None):
     parser.add_argument('--aest',    default=0., type=float)
     # TPU-specific
     parser.add_argument('--clip_weights', default=None)
+    parser.add_argument('--aest_weights', default=None)
     parser.add_argument('--precision', default='auto', choices=['auto', 'bf16', 'fp32'])
     parser.add_argument('--seed', default=0, type=int)
+    add_parallel_flags(parser)
     a = parser.parse_args(argv)
     a.size = parse_size(a.size)
     if a.dualmod is not None:
@@ -80,6 +82,7 @@ def main(argv=None):
 
 
 def run(a):
+    apply_platform()
     key = jax.random.PRNGKey(a.seed)
     key, k_clip, k_init = jax.random.split(key, 3)
     dtype = resolve_dtype(a.precision)
@@ -117,9 +120,10 @@ def run(a):
 
     aest = aest2 = None
     if a.aest != 0 and aesthetic_dims(a.model):
-        aest = aesthetic_init(jax.random.PRNGKey(7), a.model)
+        aest = aesthetic_get(jax.random.PRNGKey(7), a.model, a.aest_weights)
         if a.dualmod is not None:
-            aest2 = aesthetic_init(jax.random.PRNGKey(8), 'ViT-B/16')
+            aest2 = aesthetic_get(jax.random.PRNGKey(8), 'ViT-B/16',
+                                  a.aest_weights)
 
     transform = 'fast' if a.transform else 'none'
     if a.transform:
@@ -162,13 +166,17 @@ def run(a):
     tempdir = out_base
     os.makedirs(tempdir, exist_ok=True)
 
-    sampler = CutoutSampler(tuple(a.size), a.samples, a.modsize, a.align, a.macro)
+    sampler = CutoutSampler(tuple(a.size), a.samples, a.modsize, a.align,
+                            a.macro, use_pallas=a.pallas)
+    mesh = setup_mesh(a.mesh, (clip1, clip2), a.verbose)
     optimizer = optax.adam(a.lrate)
     settings = StepSettings(sim='cossim', sharp=a.sharp, sharp_mode='sobel',
                             aest=a.aest, total_steps=a.steps,
                             transform=transform, clip_dtype=dtype)
-    step1 = build_train_step(par, sampler, clip1.cfg, settings, optimizer)
-    step2 = (build_train_step(par, sampler, clip2.cfg, settings, optimizer)
+    step1 = build_train_step(par, sampler, clip1.cfg, settings, optimizer,
+                             mesh=mesh)
+    step2 = (build_train_step(par, sampler, clip2.cfg, settings, optimizer,
+                              mesh=mesh)
              if clip2 else None)
     render = jax.jit(lambda p: (jnp.clip(
         par.image(p)[0].transpose(1, 2, 0), 0, 1) * 255.0 + 0.5
@@ -178,6 +186,9 @@ def run(a):
     opt_state = optimizer.init(gen_params)
     prev_enc = jnp.zeros((a.samples, clip1.cfg.embed_dim))
     pbar = get_progress_bar()(a.steps)
+    from aphantasia_tpu.profiling import trace
+    prof = trace(a.profile)
+    prof.__enter__()
     for i in range(a.steps):
         key, k_step = jax.random.split(key)
         use2 = clip2 is not None and i in dm_nums
@@ -194,6 +205,7 @@ def run(a):
             export_npy(gen_params, fname)
         pbar.upd()
 
+    prof.__exit__(None, None, None)
     export_npy(gen_params, out_base)
     export_all(to_shader_layers(gen_params, a.actfn), out_base, a.size, a.decim)
     frames_to_video(tempdir, out_base + '.avi')

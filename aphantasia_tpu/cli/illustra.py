@@ -19,11 +19,12 @@ import jax.numpy as jnp
 from aphantasia_tpu.params.fft import FFTParameterizer, resume_fft
 from aphantasia_tpu.ops.sampler import CutoutSampler
 from aphantasia_tpu.ops.optim import build_optimizer
-from aphantasia_tpu.ops.losses import aesthetic_init, aesthetic_load, aesthetic_dims
+from aphantasia_tpu.ops.losses import aesthetic_get, aesthetic_dims
 from aphantasia_tpu.parallel.step import StepSettings, build_train_step, build_render
 from aphantasia_tpu.cli.common import (
     ClipWrapper, parse_size, apply_sample_budget, build_prompt_groups,
-    dualmod_steps, maybe_translate, resolve_dtype)
+    dualmod_steps, maybe_translate, resolve_dtype, add_parallel_flags,
+    setup_mesh, apply_platform)
 from aphantasia_tpu.io.media import img_read, img_list, checkout, frames_to_video, file_list, basename
 from aphantasia_tpu.io.checkpoint import save_pt, load_pt
 from aphantasia_tpu.utils import txt_clean, save_cfg, read_text, pick_
@@ -75,8 +76,10 @@ def get_args(argv=None):
     parser.add_argument('--separate', action='store_true', help='process inputs separately')
     # TPU-specific
     parser.add_argument('--clip_weights', default=None)
+    parser.add_argument('--aest_weights', default=None)
     parser.add_argument('--precision', default='auto', choices=['auto', 'bf16', 'fp32'])
     parser.add_argument('--seed', default=0, type=int)
+    add_parallel_flags(parser)
     a = parser.parse_args(argv)
 
     a.size = parse_size(a.size)
@@ -94,6 +97,7 @@ def main(argv=None):
 
 
 def run(a):
+    apply_platform()
     key = jax.random.PRNGKey(a.seed)
     key, k_clip, k_init = jax.random.split(key, 3)
     dtype = resolve_dtype(a.precision)
@@ -121,9 +125,10 @@ def run(a):
 
     aest = aest2 = None
     if a.aest != 0 and aesthetic_dims(a.model):
-        aest = aesthetic_init(jax.random.PRNGKey(7), a.model)
+        aest = aesthetic_get(jax.random.PRNGKey(7), a.model, a.aest_weights)
         if a.dualmod is not None:
-            aest2 = aesthetic_init(jax.random.PRNGKey(8), 'ViT-B/16')
+            aest2 = aesthetic_get(jax.random.PRNGKey(8), 'ViT-B/16',
+                                  a.aest_weights)
 
     # ---- inputs -----------------------------------------------------------
     texts, styles, img_paths = [], [], []
@@ -157,7 +162,9 @@ def run(a):
         sfx += '-e%.2g' % a.enforce
 
     par = FFTParameterizer(tuple(a.size), a.decay, a.colors)
-    sampler = CutoutSampler(tuple(a.size), a.samples, a.modsize, a.align, a.macro)
+    sampler = CutoutSampler(tuple(a.size), a.samples, a.modsize, a.align,
+                            a.macro, use_pallas=a.pallas)
+    mesh = setup_mesh(a.mesh, (clip1, clip2), a.verbose)
     opt_name = ('adamw_custom' if a.optimr.lower() == 'adamw' else 'adam_custom')
     optimizer = build_optimizer(opt_name, a.lrate)
     settings = StepSettings(
@@ -165,8 +172,10 @@ def run(a):
         enforce=a.enforce, expand=0.0, noise=a.noise, noise_centered=True,
         total_steps=max(a.steps // a.save_step, 1), transform=a.transform,
         clip_dtype=dtype)
-    step1 = build_train_step(par, sampler, clip1.cfg, settings, optimizer)
-    step2 = (build_train_step(par, sampler, clip2.cfg, settings, optimizer)
+    step1 = build_train_step(par, sampler, clip1.cfg, settings, optimizer,
+                             mesh=mesh)
+    step2 = (build_train_step(par, sampler, clip2.cfg, settings, optimizer,
+                              mesh=mesh)
              if clip2 else None)
     render = build_render(par)
     dm_nums = dualmod_steps(a.steps, a.dualmod) if a.dualmod else set()
@@ -191,6 +200,9 @@ def run(a):
     gen_params = None
     opt_state = None
 
+    from aphantasia_tpu.profiling import trace
+    prof = trace(a.profile)
+    prof.__enter__()
     try:
         # KeyboardInterrupt salvages completed scenes (reference illustra.py:310)
         for num in range(count):
@@ -257,6 +269,8 @@ def run(a):
 
     except KeyboardInterrupt:
         print(' interrupted — assembling completed scenes')
+    finally:
+        prof.__exit__(None, None, None)
 
     # ---- final crossfade assembly (illustra.py:313-338) -------------------
     if not a.separate:

@@ -24,12 +24,12 @@ from aphantasia_tpu.params.fft import FFTParameterizer, resume_fft, fft_scale
 from aphantasia_tpu.params.pixel import PixelParameterizer, resume_pixel
 from aphantasia_tpu.ops.sampler import CutoutSampler
 from aphantasia_tpu.ops.optim import build_optimizer
-from aphantasia_tpu.ops.losses import aesthetic_init, aesthetic_dims
+from aphantasia_tpu.ops.losses import aesthetic_get, aesthetic_dims
 from aphantasia_tpu.ops.warp import frame_transform
 from aphantasia_tpu.parallel.step import StepSettings, build_train_step, build_render
 from aphantasia_tpu.cli.common import (
     ClipWrapper, parse_size, build_prompt_groups, dualmod_steps,
-    maybe_translate, resolve_dtype)
+    maybe_translate, resolve_dtype, add_parallel_flags, setup_mesh, apply_platform)
 from aphantasia_tpu.models.clip.model import XMEM
 from aphantasia_tpu.io.media import img_read, img_list, frames_to_video, basename
 from aphantasia_tpu.utils import txt_clean, save_cfg, read_text, pick_, intrl
@@ -94,9 +94,11 @@ def get_args(argv=None):
     parser.add_argument('--rem',     default=None, help='Dummy text to add to project name')
     # TPU-specific
     parser.add_argument('--clip_weights', default=None)
+    parser.add_argument('--aest_weights', default=None)
     parser.add_argument('--depth_weights', default=None)
     parser.add_argument('--precision', default='auto', choices=['auto', 'bf16', 'fp32'])
     parser.add_argument('--seed', default=0, type=int)
+    add_parallel_flags(parser)
     a = parser.parse_args(argv)
 
     a.size = parse_size(a.size)
@@ -143,6 +145,7 @@ def main(argv=None):
 
 
 def run(a):
+    apply_platform()
     key = jax.random.PRNGKey(a.seed)
     key, k_clip, k_init = jax.random.split(key, 3)
     dtype = resolve_dtype(a.precision)
@@ -161,9 +164,10 @@ def run(a):
 
     aest = aest2 = None
     if a.aest != 0 and aesthetic_dims(a.model):
-        aest = aesthetic_init(jax.random.PRNGKey(7), a.model)
+        aest = aesthetic_get(jax.random.PRNGKey(7), a.model, a.aest_weights)
         if a.dualmod is not None:
-            aest2 = aesthetic_init(jax.random.PRNGKey(8), 'ViT-B/16')
+            aest2 = aesthetic_get(jax.random.PRNGKey(8), 'ViT-B/16',
+                                  a.aest_weights)
 
     if a.enforce != 0:
         a.samples = int(a.samples * 0.5)
@@ -228,9 +232,11 @@ def run(a):
     if a.depth != 0:
         from aphantasia_tpu.models.depth_anything import InferDepthAny
         params_d = None
-        if a.depth_weights:
+        from aphantasia_tpu.weights import env_weights
+        dw = env_weights('dav2', a.depth_weights)
+        if dw:
             from aphantasia_tpu.models.depth_anything.convert import convert_hf_dav2
-            params_d = convert_hf_dav2(a.depth_weights)
+            params_d = convert_hf_dav2(dw)
         deptha = InferDepthAny(a.depth_model, params=params_d, dtype=dtype)
         if a.depth_dir is not None:
             os.makedirs(a.depth_dir, exist_ok=True)
@@ -266,7 +272,9 @@ def run(a):
         par = PixelParameterizer(tuple(a.size), a.colors, a.fixcontrast)
     else:
         par = FFTParameterizer(tuple(a.size), 1.0, a.colors)  # sd=1 resume decode
-    sampler = CutoutSampler(tuple(a.size), a.samples, a.modsize, a.align, a.macro)
+    sampler = CutoutSampler(tuple(a.size), a.samples, a.modsize, a.align,
+                            a.macro, use_pallas=a.pallas)
+    mesh = setup_mesh(a.mesh, (clip1, clip2), a.verbose)
     optimizer = build_optimizer(a.optimizer, a.lrate)
     settings = StepSettings(
         sim=a.sim or 'cossim', sharp=a.sharp, sharp_mode='naiv', aest=a.aest,
@@ -274,8 +282,10 @@ def run(a):
         noise=a.noise if a.gen == 'FFT' else 0.0, noise_centered=True,
         total_steps=steps, rgb_anchors=(a.gen == 'RGB'),
         transform=a.transform, clip_dtype=dtype)
-    step1 = build_train_step(par, sampler, clip1.cfg, settings, optimizer)
-    step2 = (build_train_step(par, sampler, clip2.cfg, settings, optimizer)
+    step1 = build_train_step(par, sampler, clip1.cfg, settings, optimizer,
+                             mesh=mesh)
+    step2 = (build_train_step(par, sampler, clip2.cfg, settings, optimizer,
+                              mesh=mesh)
              if clip2 else None)
     render = build_render(par)
     dm_nums = dualmod_steps(steps, a.dualmod) if a.dualmod else set()
@@ -396,11 +406,16 @@ def run(a):
                 cvshow(img)
             pbar.upd()
 
+    from aphantasia_tpu.profiling import trace
+    prof = trace(a.profile)
+    prof.__enter__()
     try:
         for i in range(count):
             process(i)
     except KeyboardInterrupt:
         pass
+    finally:
+        prof.__exit__(None, None, None)
 
     frames_to_video(tempdir, os.path.join(workdir, workname + '.mp4'),
                     pattern='%06d.jpg')

@@ -43,6 +43,8 @@ def read_pt(file):
 
 
 def main(argv=None):
+    from aphantasia_tpu.cli.common import apply_platform
+    apply_platform()
     a = get_args(argv)
     tempdir = os.path.join(a.out_dir, 'a')
     os.makedirs(tempdir, exist_ok=True)

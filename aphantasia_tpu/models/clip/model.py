@@ -427,10 +427,14 @@ def load_clip(name: str, weights_path: str | None = None, key=None):
     state_dict) — converted via models/clip/convert.py.  Without weights a
     random init is returned (shapes/FLOPs identical).
     """
+    from aphantasia_tpu.weights import env_weights, warn_random
+
     cfg = CLIP_CONFIGS[name]
+    weights_path = env_weights("clip", weights_path)
     if weights_path is not None:
         from aphantasia_tpu.models.clip.convert import convert_openai_checkpoint
         return convert_openai_checkpoint(weights_path), cfg
+    warn_random(f"clip {name}")
     if key is None:
         key = jax.random.PRNGKey(0)
     return clip_init(key, cfg), cfg

@@ -167,6 +167,9 @@ def _tokenizer():
     path = _find_bpe_vocab()
     if path is not None:
         return SimpleTokenizer(path)
+    from aphantasia_tpu.weights import warn_random
+    warn_random("clip tokenizer (BPE vocab missing — hash fallback, NOT "
+                "vocabulary-compatible with real CLIP weights)")
     return HashTokenizer()
 
 

@@ -176,9 +176,17 @@ class InferDepthAny:
         m = modtype[0].lower()
         self.cfg = DAV2_CONFIGS.get(m, DAV2_CONFIGS["b"])
         if params is None:
-            if key is None:
-                key = jax.random.PRNGKey(0)
-            params = dav2_init(key, self.cfg)
+            from aphantasia_tpu.weights import env_weights, warn_random
+            path = env_weights("dav2")
+            if path:
+                from aphantasia_tpu.models.depth_anything.convert import (
+                    convert_hf_dav2)
+                params = convert_hf_dav2(path)
+            else:
+                warn_random("dav2 Depth-Anything-V2")
+                if key is None:
+                    key = jax.random.PRNGKey(0)
+                params = dav2_init(key, self.cfg)
         self.params = params
         self.dtype = dtype
         self._jitted = jax.jit(lambda p, x: dav2_apply(p, self.cfg, x,

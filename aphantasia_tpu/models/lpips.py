@@ -43,6 +43,33 @@ def lpips_init(key: jax.Array):
     return {"convs": convs, "lins": lins}
 
 
+def lpips_get(key, path: str | None = None):
+    """LPIPS params with the standard resolution order: explicit path ->
+    APHANTASIA_LPIPS_PT env -> LOUD random fallback.
+
+    `path` points to a single .pt/.npz holding BOTH the torchvision VGG16
+    `features.*` tensors and the lpips `lin*.model.1.weight` heads."""
+    from aphantasia_tpu.weights import env_weights, warn_random
+
+    path = env_weights("lpips", path)
+    if path:
+        if path.endswith(".npz"):
+            sd = dict(np.load(path))
+        else:
+            try:
+                import torch
+                sd = {k: v.float().numpy()
+                      for k, v in torch.load(path, map_location="cpu").items()}
+            except ImportError:
+                from aphantasia_tpu.io.checkpoint import load_pt
+                sd = load_pt(path)
+        vgg = {k: v for k, v in sd.items() if k.startswith("features.")}
+        lin = {k: v for k, v in sd.items() if k.startswith("lin")}
+        return lpips_load(vgg, lin)
+    warn_random("lpips VGG16+linear heads")
+    return lpips_init(key)
+
+
 def lpips_load(vgg_state, lin_state):
     """Convert torchvision VGG16 `features` weights + lpips lin weights.
 

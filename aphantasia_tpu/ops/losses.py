@@ -105,6 +105,20 @@ def aesthetic_init(key, clip_model: str = "ViT-B/32"):
             "b": jnp.zeros((1,))}
 
 
+def aesthetic_get(key, clip_model: str = "ViT-B/32", path: str | None = None):
+    """Aesthetic head with the standard resolution order: explicit path ->
+    APHANTASIA_AEST_PT env -> LOUD random fallback.  All CLIs route here."""
+    from aphantasia_tpu.weights import env_weights, warn_random
+
+    if aesthetic_dims(clip_model) is None:
+        return None
+    path = env_weights("aesthetic", path)
+    if path:
+        return aesthetic_load(path)
+    warn_random(f"aesthetic head ({clip_model})")
+    return aesthetic_init(key, clip_model)
+
+
 def aesthetic_load(path: str):
     """Convert a torch Linear(nf,1) state_dict checkpoint."""
     try:

@@ -29,6 +29,48 @@ def make_mesh(n_devices: int | None = None, axes=("data",)) -> Mesh:
     return Mesh(devs.reshape(-1, model), axes)
 
 
+def make_mesh_2d(data: int, model: int) -> Mesh:
+    """Explicit data x model mesh ('NxM' CLI spec).  Model axis innermost so
+    its collectives ride the fastest ICI links."""
+    devs = np.asarray(jax.devices()[:data * model])
+    if len(devs) < data * model:
+        raise ValueError(
+            f"mesh {data}x{model} needs {data * model} devices, "
+            f"have {len(devs)}")
+    return Mesh(devs.reshape(data, model), ("data", "model"))
+
+
+def shard_clip_params(params, mesh: Mesh):
+    """Tensor-parallel layout for a CLIP param tree over the 'model' axis.
+
+    Transformer blocks (both towers; the text tower exists in every model
+    incl. the RN family) shard column-/row-wise:
+      mlp.fc_w   [D, 4D]  -> P(None, 'model')   (column parallel)
+      mlp.proj_w [4D, D]  -> P('model', None)   (row parallel)
+      attn.in_w  [D, 3D]  -> P(None, 'model')
+    everything else is replicated; XLA's SPMD partitioner inserts the
+    activation collectives.  This is the product surface of the dp x tp
+    dryrun (__graft_entry__.dryrun_multichip), built for RN50x64/ViT-L
+    towers that don't fit comfortably replicated (SURVEY.md §2.6 row 2).
+    """
+    def put(x, spec):
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    out = jax.tree_util.tree_map(lambda x: put(x, P()), params)
+    for tower in ("visual", "text"):
+        tp = params.get(tower, {})
+        if not isinstance(tp, dict) or "blocks" not in tp:
+            continue    # RN visual trunk (convs) stays replicated
+        for i, blk in enumerate(tp["blocks"]):
+            out[tower]["blocks"][i]["mlp"]["fc_w"] = put(
+                blk["mlp"]["fc_w"], P(None, "model"))
+            out[tower]["blocks"][i]["mlp"]["proj_w"] = put(
+                blk["mlp"]["proj_w"], P("model", None))
+            out[tower]["blocks"][i]["attn"]["in_w"] = put(
+                blk["attn"]["in_w"], P(None, "model"))
+    return out
+
+
 def data_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (samples) axis over 'data'."""
     return NamedSharding(mesh, P("data"))

@@ -6,6 +6,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # integration tier (SURVEY.md §4)
+
 
 def test_clip_fft_tiny(tmp_path):
     from aphantasia_tpu.cli.clip_fft import main

@@ -4,6 +4,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # integration tier (SURVEY.md §4)
+
 
 def test_illustra_two_scenes(tmp_path):
     from aphantasia_tpu.cli.illustra import main

@@ -14,6 +14,8 @@ from aphantasia_tpu.models.clip.model import (
     CLIPConfig, CLIP_CONFIGS, clip_init, encode_image, encode_text)
 from aphantasia_tpu.models.clip.tokenizer import tokenize, SOT, EOT, HashTokenizer
 
+pytestmark = pytest.mark.slow  # integration tier (SURVEY.md §4)
+
 torch = pytest.importorskip("torch")
 transformers = pytest.importorskip("transformers")
 

@@ -68,6 +68,7 @@ def test_shader_export_all_targets(tmp_path):
     assert exts == {".glsl", ".tfx", ".txt"}
 
 
+@pytest.mark.slow
 def test_cppn_cli_tiny(tmp_path):
     from aphantasia_tpu.cli.cppn import main
     out = str(tmp_path / "o")
@@ -79,6 +80,7 @@ def test_cppn_cli_tiny(tmp_path):
     assert any(f.endswith(".glsl") for f in files)
 
 
+@pytest.mark.slow
 def test_cppn_cli_export_roundtrip(tmp_path):
     from aphantasia_tpu.cli.cppn import main
     out = str(tmp_path / "o")

@@ -12,6 +12,8 @@ from aphantasia_tpu.motion.depthwarp import (
     triangle_blur, grid_warp, depthwarp, depth_transform)
 
 
+pytestmark = pytest.mark.slow  # integration tier (SURVEY.md §4)
+
 def test_dav2_shapes():
     cfg = DAV2_CONFIGS["s"]
     params = dav2_init(jax.random.PRNGKey(0), cfg)

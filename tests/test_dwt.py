@@ -11,6 +11,8 @@ from aphantasia_tpu.params.dwt import (
     wavedec2, waverec2, DWTParameterizer, img2dwt, dwt_scale)
 
 
+pytestmark = pytest.mark.slow  # compile-heavy wavelet suite
+
 def test_db2_known_coefficients():
     # published db2 scaling filter (pywt rec_lo)
     want = np.array([0.48296291314469025, 0.836516303737469,

@@ -3,6 +3,8 @@ import os
 
 import pytest
 
+pytestmark = pytest.mark.slow  # integration tier (SURVEY.md §4)
+
 
 def _run(tmp_path, extra):
     from aphantasia_tpu.cli.illustrip import main

@@ -68,6 +68,7 @@ def test_attention_core_valid_t_prepadded():
                                atol=2e-5, rtol=2e-4)
 
 
+@pytest.mark.slow
 def test_fused_tower_matches_xla_tower():
     """encode_image with FUSED_ATTN forced through interpret mode == XLA."""
     import aphantasia_tpu.models.clip.model as M

@@ -13,6 +13,7 @@ torch = pytest.importorskip("torch")
 import torch.nn.functional as F
 
 
+@pytest.mark.slow
 def test_resize_bicubic_matches_torch():
     rs = np.random.RandomState(0)
     img = rs.rand(1, 3, 37, 53).astype(np.float32)

@@ -96,6 +96,7 @@ def test_render(setup):
     assert frame.dtype == jnp.uint8
 
 
+@pytest.mark.slow
 def test_sharded_step_matches_single(setup):
     from aphantasia_tpu.parallel.mesh import make_mesh
     clip_params, par, sampler, prompts = setup
@@ -118,3 +119,31 @@ def test_sharded_step_matches_single(setup):
     # adam's g/sqrt(v) normalization amplifies reduction-order noise on
     # near-zero grads; 0.05%-of-elements differences at ~4e-3 are expected
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p8), atol=5e-3)
+
+
+@pytest.mark.slow
+def test_tensor_parallel_step_matches_single(setup):
+    """dp x tp: CLIP weights sharded over 'model' (the --mesh NxM product
+    path, parallel/mesh.py:shard_clip_params) must reproduce single-device
+    numerics.  VERDICT r1 item 7."""
+    from aphantasia_tpu.parallel.mesh import make_mesh_2d, shard_clip_params
+    clip_params, par, sampler, prompts = setup
+    settings = StepSettings(sim="cossim", transform="none", total_steps=2)
+    opt = build_optimizer("adam_custom", 0.05)
+    params0 = par.init(jax.random.PRNGKey(1))
+    prev = jnp.zeros((sampler.count, TINY_CLIP.embed_dim))
+
+    step1 = build_train_step(par, sampler, TINY_CLIP, settings, opt)
+    p1, _, _, l1 = step1(jnp.copy(params0), opt.init(params0), jnp.copy(prev),
+                         clip_params, None, None, prompts,
+                         jax.random.PRNGKey(3), jnp.int32(0))
+
+    mesh = make_mesh_2d(4, 2)
+    clip_tp = shard_clip_params(clip_params, mesh)
+    step_tp = build_train_step(par, sampler, TINY_CLIP, settings, opt,
+                               mesh=mesh)
+    pt, _, _, lt = step_tp(jnp.copy(params0), opt.init(params0),
+                           jnp.copy(prev), clip_tp, None, None, prompts,
+                           jax.random.PRNGKey(3), jnp.int32(0))
+    assert abs(float(l1) - float(lt)) < 1e-4
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(pt), atol=5e-3)

@@ -9,6 +9,8 @@ from aphantasia_tpu.models.vqgan import (
     VQGANConfig, VQGAN_CONFIGS, vqgan_init, vqgan_decode, latent_init,
     VQGANParameterizer, convert_taming)
 
+pytestmark = pytest.mark.slow  # integration tier (SURVEY.md §4)
+
 TINY = VQGANConfig("tiny", z_channels=8, ch=8, ch_mult=(1, 2), num_res_blocks=1,
                    attn_resolutions=())
 
