@@ -1,0 +1,183 @@
+"""Spatial sharding: giant canvases with the FFT parameter grid, the
+irfft2 decode and the cutout contraction distributed over a 'spatial' mesh
+axis — nothing materializes the full image replicated per chip.
+
+This is the TPU answer to the reference's "fullHD/4K and above" claim
+(reference README.md:17; SURVEY.md §2.6 row 4 names it the long-context
+analog): the reference fits 4K on one GPU because memory scales with the
+cutout count, but a replicated 4K+ float image/params/grad per chip wastes
+HBM that the samples axis wants.  Here:
+
+  spectrum [1,3,H,Wf,2]    sharded on Wf ('spatial')
+   -> ifft along H          local (H is unsharded on each Wf shard)
+   -> all_to_all            Wf-sharded -> H-sharded (the FFT transpose,
+                            riding ICI)
+   -> irfft along W         local -> image [1,3,H/n,W] H-sharded
+   -> color head            elementwise, local
+   -> cutout contraction    contract W locally (wx replicated), then the
+                            local H rows (wy arrives H-sharded), psum the
+                            cuts-sized [S,C,M,M] partials — the ONLY
+                            cross-chip reduction, never an image-sized one
+
+The composition ifft_H then irfft_W equals irfft2 exactly (the 2D inverse
+factorizes; ortho norm applies 1/sqrt per axis).  Wf = W//2+1 is usually
+odd, so the spectrum is zero-padded to a shardable Wf' and sliced back
+before the irfft — padding is exact because every op up to the slice is
+linear and the pad columns are zero.
+
+Gradients flow through shard_map/all_to_all/psum transposes, so one
+jax.grad over the returned loss trains the sharded spectrum in place.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from aphantasia_tpu.params.color import to_valid_rgb
+from aphantasia_tpu.params.fft import fft_scale
+
+
+def _pad_to(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def pad_spectrum(params: jnp.ndarray, n_shards: int) -> jnp.ndarray:
+    """[1,3,H,Wf,2] -> [1,3,H,Wf',2] with zero columns, Wf' % n == 0."""
+    wf = params.shape[3]
+    wf_p = _pad_to(wf, n_shards)
+    if wf_p == wf:
+        return params
+    return jnp.pad(params, ((0, 0),) * 3 + ((0, wf_p - wf), (0, 0)))
+
+
+def unpad_spectrum(params: jnp.ndarray, w: int) -> jnp.ndarray:
+    """Slice a padded spectrum back to the canonical Wf = w//2+1 columns
+    (for .pt snapshots byte-compatible with the reference layout)."""
+    return params[:, :, :, : w // 2 + 1]
+
+
+def spectrum_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(None, None, None, "spatial", None))
+
+
+@functools.lru_cache(maxsize=8)
+def _padded_scale(h: int, w: int, decay: float, n_shards: int) -> np.ndarray:
+    scale = fft_scale(h, w, decay)                      # [1,1,h,wf,1]
+    wf = scale.shape[3]
+    wf_p = _pad_to(wf, n_shards)
+    if wf_p != wf:
+        scale = np.pad(scale, ((0, 0),) * 3 + ((0, wf_p - wf), (0, 0)))
+    return scale
+
+
+class SpatialFFT:
+    """FFT parameterizer decode + cutout, distributed over mesh['spatial'].
+
+    Use `init(key)` / `shard(params)` to get spectrum params living
+    Wf-sharded on the mesh; `cut_fn(sampler)` returns a jittable
+    (params, wy, wx, shift) -> cutouts [S,C,M,M] whose internals never
+    replicate image-sized tensors.
+    """
+
+    def __init__(self, size, decay_power: float, colors: float, mesh: Mesh):
+        self.size = tuple(size)
+        self.decay_power = decay_power
+        self.colors = colors
+        self.mesh = mesh
+        self.n = mesh.shape["spatial"]
+        h, w = self.size
+        if h % self.n:
+            raise ValueError(f"H={h} must divide the spatial axis ({self.n})")
+        self.scale = _padded_scale(h, w, decay_power, self.n)
+
+    # ---- params -----------------------------------------------------------
+
+    def init(self, key, sd: float = 0.01):
+        h, w = self.size
+        wf_p = self.scale.shape[3]
+        params = sd * jax.random.normal(key, (1, 3, h, wf_p, 2), jnp.float32)
+        # zero the pad columns so they stay exactly inert
+        wf = w // 2 + 1
+        params = params.at[:, :, :, wf:].set(0.0)
+        return self.shard(params)
+
+    def shard(self, params):
+        params = pad_spectrum(params, self.n)
+        return jax.device_put(params, spectrum_sharding(self.mesh))
+
+    # ---- distributed decode + cut ------------------------------------------
+
+    def _decode_local(self, params_loc, scale_loc, shift_loc):
+        """Per-shard: scaled spectrum [.., Wf'/n, 2] -> image rows
+        [1, 3, H/n, W] (H-sharded after the all_to_all transpose)."""
+        h, w = self.size
+        scaled = scale_loc * params_loc
+        if shift_loc is not None:
+            scaled = scaled + scale_loc * shift_loc
+        spec = jax.lax.complex(scaled[..., 0], scaled[..., 1])
+        spec = jnp.fft.ifft(spec, axis=2, norm="ortho")           # local: full H
+        # FFT transpose: Wf-sharded -> H-sharded, over ICI
+        spec = jax.lax.all_to_all(spec, "spatial", split_axis=2,
+                                  concat_axis=3, tiled=True)
+        wf = w // 2 + 1
+        spec = spec[:, :, :, :wf]                                 # drop pad
+        img = jnp.fft.irfft(spec, n=w, axis=3, norm="ortho")      # [1,3,H/n,W]
+        # global contrast normalization (Bessel) via scalar psums
+        s1 = jax.lax.psum(jnp.sum(img), "spatial")
+        s2 = jax.lax.psum(jnp.sum(img * img), "spatial")
+        cnt = 3 * h * w
+        var = (s2 - s1 * s1 / cnt) / (cnt - 1)
+        return img * jax.lax.rsqrt(var + 1e-20)
+
+    def cut_fn(self, sampler, compute_dtype=None):
+        """Returns cuts(params, wy, wx, shift=None, contrast=1.0) -> [S,C,M,M]
+        (replicated over 'spatial'); wy [S,M,H] arrives H-sharded, wx is
+        replicated.  `sampler` supplies only static config (modsize)."""
+        dt = compute_dtype or jnp.float32
+        pspec = P(None, None, None, "spatial", None)
+
+        def _local(params_loc, scale_loc, wy_loc, wx, shift_loc, contrast):
+            img = self._decode_local(params_loc, scale_loc, shift_loc)
+            img = to_valid_rgb(img * contrast, colors=self.colors)[0]  # [3,h/n,W]
+            # contract W locally, then the local H rows, psum cut-sized only
+            tmp = jnp.einsum("chw,snw->schn", img.astype(dt), wx.astype(dt),
+                             preferred_element_type=jnp.float32)   # [S,C,h/n,M]
+            part = jnp.einsum("smh,schn->scmn", wy_loc.astype(dt),
+                              tmp.astype(dt),
+                              preferred_element_type=jnp.float32)
+            return jax.lax.psum(part, "spatial")
+
+        fn = shard_map(
+            _local, mesh=self.mesh,
+            in_specs=(pspec, pspec, P(None, None, "spatial"), P(), pspec, P()),
+            out_specs=P(),
+        )
+
+        def cuts(params, wy, wx, shift=None, contrast=1.0):
+            scale = jnp.asarray(self.scale)
+            if shift is None:
+                shift = jnp.zeros_like(params)
+            return fn(params, scale, wy, wx, shift,
+                      jnp.asarray(contrast, jnp.float32))
+
+        return cuts
+
+    def render(self, params, contrast: float = 1.0):
+        """Full-image render (H-sharded internally, gathered at the end —
+        only for frame output, never inside the training step)."""
+        pspec = P(None, None, None, "spatial", None)
+
+        def _local(params_loc, scale_loc):
+            img = self._decode_local(params_loc, scale_loc, None)
+            return to_valid_rgb(img * contrast, colors=self.colors)
+
+        fn = shard_map(_local, mesh=self.mesh,
+                       in_specs=(pspec, pspec),
+                       out_specs=P(None, None, "spatial", None),
+                       )
+        return fn(params, jnp.asarray(self.scale))
