@@ -73,6 +73,56 @@ def _block(sd, prefix):
     }
 
 
+def convert_checkpoint(path_or_sd, expect_cfg=None):
+    """Any supported CLIP checkpoint -> param pytree, dispatching on the
+    state-dict naming scheme (OpenAI jit/.pt vs HuggingFace CLIPModel).
+
+    `expect_cfg`: optional CLIPConfig — verify the checkpoint's shapes
+    match the model the caller asked for, with a readable error instead of
+    a downstream shape mismatch deep inside the first encode."""
+    sd = path_or_sd if isinstance(path_or_sd, dict) else _read_state_dict(path_or_sd)
+    if any(k.startswith(("vision_model.", "text_model.")) for k in sd):
+        params = convert_hf_clip(sd)
+    else:
+        params = convert_openai_checkpoint(sd)
+    if expect_cfg is not None:
+        _verify_cfg(params, expect_cfg)
+    return params
+
+
+def _verify_cfg(params, cfg):
+    t = params["text"]
+    problems = []
+    if t["token_embedding"].shape[1] != cfg.transformer_width:
+        problems.append(
+            f"text width {t['token_embedding'].shape[1]} != "
+            f"{cfg.transformer_width}")
+    if len(t["blocks"]) != cfg.transformer_layers:
+        problems.append(
+            f"text layers {len(t['blocks'])} != {cfg.transformer_layers}")
+    if t["text_projection"].shape[1] != cfg.embed_dim:
+        problems.append(
+            f"embed dim {t['text_projection'].shape[1]} != {cfg.embed_dim}")
+    v = params["visual"]
+    if cfg.is_vit:
+        if "blocks" not in v:
+            problems.append("checkpoint is a ResNet, config expects a ViT")
+        else:
+            if len(v["blocks"]) != cfg.vision_layers:
+                problems.append(
+                    f"vision layers {len(v['blocks'])} != {cfg.vision_layers}")
+            pp = 3 * cfg.vision_patch_size ** 2
+            if v["conv"].shape[0] != pp:
+                problems.append(
+                    f"patch size: conv rows {v['conv'].shape[0]} != {pp}")
+    elif "stem" not in v:
+        problems.append("checkpoint is a ViT, config expects a ResNet")
+    if problems:
+        raise ValueError(
+            f"checkpoint does not match CLIP model '{cfg.name}': "
+            + "; ".join(problems))
+
+
 def convert_openai_checkpoint(path_or_sd):
     """OpenAI-naming state_dict -> our param pytree (ViT or ModifiedResNet)."""
     sd = path_or_sd if isinstance(path_or_sd, dict) else _read_state_dict(path_or_sd)

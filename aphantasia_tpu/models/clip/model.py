@@ -432,8 +432,8 @@ def load_clip(name: str, weights_path: str | None = None, key=None):
     cfg = CLIP_CONFIGS[name]
     weights_path = env_weights("clip", weights_path)
     if weights_path is not None:
-        from aphantasia_tpu.models.clip.convert import convert_openai_checkpoint
-        return convert_openai_checkpoint(weights_path), cfg
+        from aphantasia_tpu.models.clip.convert import convert_checkpoint
+        return convert_checkpoint(weights_path, expect_cfg=cfg), cfg
     warn_random(f"clip {name}")
     if key is None:
         key = jax.random.PRNGKey(0)
