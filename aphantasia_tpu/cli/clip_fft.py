@@ -88,6 +88,9 @@ def get_args(argv=None):
     parser.add_argument('--lpips_weights', default=None, help='Path to VGG16+lin LPIPS checkpoint (--sync)')
     parser.add_argument('--precision', default='auto', choices=['auto', 'bf16', 'fp32'])
     parser.add_argument('--seed', default=0, type=int)
+    parser.add_argument('--spatial', default=0, type=int,
+                        help='Shard the FFT canvas spatially over N devices '
+                             '(4K+ canvases; FFT mode only)')
     add_parallel_flags(parser)
     a = parser.parse_args(argv)
 
@@ -215,13 +218,42 @@ def run(a):
         noise=a.noise, noise_centered=False, sync=a.sync,
         total_steps=max(a.steps // a.opt_step, 1), transform=a.transform,
         clip_dtype=dtype)
-    mesh = setup_mesh(a.mesh, (clip1, clip2), a.verbose)
-    step1 = build_train_step(par, sampler, clip1.cfg, settings, optimizer,
-                             mesh=mesh)
-    step2 = (build_train_step(par, sampler, clip2.cfg, settings, optimizer,
-                              mesh=mesh)
-             if clip2 else None)
-    render = build_render(par)
+    spar = None
+    if a.spatial and a.spatial > 1:
+        # spatially-sharded canvas (parallel/spatial.py): params + irfft2 +
+        # cutout contraction distributed; image-space loss terms need the
+        # full frame and are out of scope for this path
+        bad = [f for f, on in [('--dwt', a.dwt), ('--sync', a.sync > 0),
+                               ('--sharp', a.sharp != 0),
+                               ('--noise', a.noise > 0),
+                               ('--dualmod', a.dualmod is not None),
+                               ('--mesh', bool(a.mesh))] if on]
+        if bad:
+            raise SystemExit(f"--spatial is incompatible with {bad} "
+                             "(FFT mode, cutout-space losses only)")
+        from aphantasia_tpu.parallel.mesh import make_mesh
+        from aphantasia_tpu.parallel.spatial import (SpatialFFT,
+                                                     build_spatial_train_step)
+        smesh = make_mesh(a.spatial, axes=("spatial",))
+        spar = SpatialFFT(tuple(a.size), a.decay, a.colors, smesh)
+        gen_params = spar.shard(gen_params)
+        step1 = build_spatial_train_step(spar, sampler, clip1.cfg, settings,
+                                         optimizer)
+        step2 = None
+        render = lambda p, contrast=1.0: (jnp.clip(  # noqa: E731
+            spar.render(p, contrast)[0].transpose(1, 2, 0), 0.0, 1.0)
+            * 255.0 + 0.5).astype(jnp.uint8)
+        if a.verbose:
+            print(f' spatial mesh: {a.spatial} devices')
+        mesh = None
+    else:
+        mesh = setup_mesh(a.mesh, (clip1, clip2), a.verbose)
+        step1 = build_train_step(par, sampler, clip1.cfg, settings, optimizer,
+                                 mesh=mesh)
+        step2 = (build_train_step(par, sampler, clip2.cfg, settings,
+                                  optimizer, mesh=mesh)
+                 if clip2 else None)
+        render = build_render(par)
     dm_nums = dualmod_steps(a.steps, a.dualmod) if a.dualmod else set()
 
     # ---- output dirs ------------------------------------------------------
@@ -246,9 +278,14 @@ def run(a):
         clip_w = clip2.params if use2 else clip1.params
         aest_w = aest2 if use2 else aest
         prompts = prompts2 if use2 else prompts1
-        gen_params, opt_state, prev_enc, loss = step(
-            gen_params, opt_state, prev_enc, clip_w, aest_w, lpips_bundle,
-            prompts, k_step, jnp.int32(i // a.opt_step))
+        if spar is not None:
+            gen_params, opt_state, prev_enc, loss = step(
+                gen_params, opt_state, prev_enc, clip_w, aest_w,
+                prompts, k_step, jnp.int32(i // a.opt_step))
+        else:
+            gen_params, opt_state, prev_enc, loss = step(
+                gen_params, opt_state, prev_enc, clip_w, aest_w, lpips_bundle,
+                prompts, k_step, jnp.int32(i // a.opt_step))
 
         if i % a.opt_step == 0:
             img = np.asarray(render(gen_params, contrast=a.contrast))  # uint8 HWC
@@ -270,6 +307,9 @@ def run(a):
         shutil.copy(frames[-1],
                     os.path.join(a.out_dir, '%s-%d.jpg' % (out_name, a.steps)))
     if a.save_pt:
+        if spar is not None:   # drop the spatial pad -> canonical Wf layout
+            from aphantasia_tpu.parallel.spatial import unpad_spectrum
+            gen_params = unpad_spectrum(gen_params, a.size[1])
         # params LIST for byte-parity with the reference (clip_fft.py:315)
         obj = ([np.asarray(gen_params)] if not a.dwt
                else [np.asarray(p) for p in gen_params])

@@ -167,6 +167,9 @@ class SpatialFFT:
 
         return cuts
 
+    def wy_sharding(self):
+        return NamedSharding(self.mesh, P(None, None, "spatial"))
+
     def render(self, params, contrast: float = 1.0):
         """Full-image render (H-sharded internally, gathered at the end —
         only for frame output, never inside the training step)."""
@@ -181,3 +184,74 @@ class SpatialFFT:
                        out_specs=P(None, None, "spatial", None),
                        )
         return fn(params, jnp.asarray(self.scale))
+
+
+def build_spatial_train_step(spar: SpatialFFT, sampler, clip_cfg, settings,
+                             optimizer):
+    """clip_fft-style training step over the spatially-sharded decode+cut.
+
+    Mirrors parallel/step.py:build_train_step for the loss terms that
+    operate on cutouts/encodings (prompt groups, aesthetic, enforce,
+    expand); image-space terms (sharp, sync, noise shift) need the full
+    frame and are rejected by the CLI before getting here.
+
+    Returns train_step(gen_params, opt_state, prev_enc, clip_params,
+    aest_params, prompts, key, step_i) -> (gen_params, opt_state, out_enc,
+    loss); gen_params live Wf-sharded (spar.init / spar.shard)."""
+    import optax  # noqa: F401  (signature parity with step.py)
+    from aphantasia_tpu.ops.augs import get_transform
+    from aphantasia_tpu.ops.losses import sim_func, aesthetic_apply
+    from aphantasia_tpu.models.clip.model import encode_image
+
+    transform = get_transform(settings.transform)
+    cuts_fn = spar.cut_fn(sampler, compute_dtype=settings.clip_dtype)
+
+    def encode_cuts(gen_params, clip_params, key):
+        k_box, k_tf = jax.random.split(key)
+        boxes = sampler.sample_boxes(k_box)
+        wy, wx = sampler.weight_matrices(boxes)
+        # the [S,M,H] row matrix is the one H-sized auxiliary: keep it
+        # sharded like the image so 4K canvases never replicate it
+        wy = jax.lax.with_sharding_constraint(wy, spar.wy_sharding())
+        cuts = cuts_fn(gen_params, wy, wx).astype(settings.clip_dtype)
+        cuts = transform(k_tf, cuts)
+        enc = encode_image(clip_params, clip_cfg, cuts,
+                           dtype=settings.clip_dtype)
+        return enc.astype(jnp.float32)
+
+    def loss_fn(gen_params, clip_params, aest_params, prompts, prev_enc,
+                key, step_i):
+        k1, k2 = jax.random.split(key)
+        out_enc = encode_cuts(gen_params, clip_params, k1)
+        loss = jnp.float32(0.0)
+        if settings.aest != 0 and aest_params is not None:
+            loss = loss - 0.001 * settings.aest * jnp.mean(
+                aesthetic_apply(aest_params, out_enc))
+        for embs, wts, coeff in prompts:
+            group = jnp.float32(0.0)
+            for j in range(embs.shape[0]):
+                group = group + wts[j] * sim_func(embs[j:j + 1], out_enc,
+                                                  settings.sim)
+            loss = loss + coeff * group
+        if settings.enforce != 0:
+            enc2 = encode_cuts(gen_params, clip_params, k2)
+            loss = loss - settings.enforce * sim_func(out_enc, enc2,
+                                                      settings.sim)
+        if settings.expand > 0:
+            gate = (step_i > 0).astype(jnp.float32)
+            loss = loss + gate * settings.expand * sim_func(
+                out_enc, prev_enc, settings.sim)
+        return loss, jax.lax.stop_gradient(out_enc)
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def train_step(gen_params, opt_state, prev_enc, clip_params, aest_params,
+                   prompts, key, step_i):
+        (loss, out_enc), grads = grad_fn(gen_params, clip_params, aest_params,
+                                         prompts, prev_enc, key, step_i)
+        updates, opt_state = optimizer.update(grads, opt_state, gen_params)
+        gen_params = jax.tree_util.tree_map(lambda p, u: p + u,
+                                            gen_params, updates)
+        return gen_params, opt_state, out_enc, loss
+
+    return jax.jit(train_step, donate_argnums=(0, 1, 2))
