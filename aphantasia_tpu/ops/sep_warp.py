@@ -130,20 +130,28 @@ def _frac_shift_impl(x, shift, axis, dtype_name, phase=None):
 
 
 def scale_matrix_1d(scale: jnp.ndarray, offset: jnp.ndarray, n: int,
-                    dtype=jnp.float32) -> jnp.ndarray:
-    """Per-sample 1D bilinear resample matrices [S, n, n] with
-    src = scale * (dst - c) + c + offset, c = (n-1)/2.  Built with iota
-    comparisons (no scatter); rows sample with zero padding outside."""
-    c = (n - 1) / 2.0
-    dst = jnp.arange(n, dtype=jnp.float32)
-    src = scale[:, None] * (dst - c) + c + offset[:, None]       # [S,n]
+                    dtype=jnp.float32, n_in: int | None = None,
+                    dst0: float = 0.0, src0: float = 0.0) -> jnp.ndarray:
+    """Per-sample 1D bilinear resample matrices [S, n, n_in] with
+    src = scale * (dst + dst0 - c) + c + offset - src0, c referenced to the
+    shared centered frame (c = (max(n+dst0, n_in+src0) - 1)/2 is supplied
+    implicitly via dst0/src0 by the caller).  Built with iota comparisons
+    (no scatter); out-of-range taps drop, i.e. zero padding outside.
+
+    dst0/src0 express RECTANGULAR matrices: output rows covering only the
+    crop window (dst0 = crop offset in padded coords) and/or inputs stored
+    unpadded (src0 = pad amount to subtract from padded source coords)."""
+    n_in = n if n_in is None else n_in
+    dst = jnp.arange(n, dtype=jnp.float32) + dst0
+    c = (max(n + 2 * dst0, n_in + 2 * src0) - 1) / 2.0
+    src = scale[:, None] * (dst - c) + c + offset[:, None] - src0  # [S,n]
     i0 = jnp.floor(src)
     t = src - i0
-    iota = jnp.arange(n, dtype=jnp.float32)
+    iota = jnp.arange(n_in, dtype=jnp.float32)
     # two taps: i0 (weight 1-t) and i0+1 (weight t); out-of-range taps drop
     m0 = (iota[None, None, :] == i0[:, :, None]).astype(dtype) * (1 - t)[:, :, None].astype(dtype)
     m1 = (iota[None, None, :] == (i0 + 1)[:, :, None]).astype(dtype) * t[:, :, None].astype(dtype)
-    return m0 + m1                                                # [S,n,n]
+    return m0 + m1                                                # [S,n,n_in]
 
 
 def ldu_decompose(a2: jnp.ndarray):
@@ -174,37 +182,46 @@ def affine_warp(cuts: jnp.ndarray, affines: jnp.ndarray, pad: int = 64,
     dt = compute_dtype or jnp.float32
     if fill != 0.0:
         cuts = cuts - fill
-    x = jnp.pad(cuts, ((0, 0), (0, 0), (pad, pad), (pad, pad)))
     hp, wp = h + 2 * pad, w + 2 * pad
 
     a2 = affines[:, :, :2]
     t = affines[:, :, 2]
     l, d1, d2, u = ldu_decompose(a2)
 
-    cyp = (hp - 1) / 2.0
-    cxp = (wp - 1) / 2.0
-    xs = jnp.arange(wp, dtype=jnp.float32) - cxp                  # [Wp]
-    ys = jnp.arange(hp, dtype=jnp.float32) - cyp                  # [Hp]
+    # centered coordinates of the UNCROPPED rows/cols (identical values in
+    # the padded frame — the crop is centered)
+    xs = jnp.arange(w, dtype=jnp.float32) - (w - 1) / 2.0          # [W]
+    ys = jnp.arange(h, dtype=jnp.float32) - (h - 1) / 2.0          # [H]
+
+    # Rectangular plan: pad ONLY the y axis for the L shift's wrap margin —
+    # x stays unpadded through L and D (the D x-matrix's dropped
+    # out-of-range taps ARE the zero pad), D emits just the crop rows but
+    # the full padded x range (the U shift's wrap margin), and U runs on
+    # [h, wp] before the final x crop.  Each pass touches ~2/3 the area of
+    # the naive both-axes-padded pipeline.
+    x = jnp.pad(cuts, ((0, 0), (0, 0), (pad, pad), (0, 0)))       # [S,C,Hp,W]
 
     # --- L pass: src_y = y + l*x  =>  shift = -(l*x) per column ------------
-    shift_y = -(l[:, None] * xs[None, :])                          # [S,Wp]
+    shift_y = -(l[:, None] * xs[None, :])                          # [S,W]
     x = fractional_shift(x, shift_y[:, None, :], axis=-2, compute_dtype=dt)
 
     # --- D pass with translation L^-1 t = (tx, ty - l*tx) as offsets -------
     off_x = t[:, 0]
     off_y = t[:, 1] - l * t[:, 0]
-    my = scale_matrix_1d(d2, off_y, hp, dtype=dt)                  # [S,Hp,Hp]
-    mx = scale_matrix_1d(d1, off_x, wp, dtype=dt)                  # [S,Wp,Wp]
+    my = scale_matrix_1d(d2, off_y, h, dtype=dt, n_in=hp,
+                         dst0=pad)                                 # [S,H,Hp]
+    mx = scale_matrix_1d(d1, off_x, wp, dtype=dt, n_in=w,
+                         src0=pad)                                 # [S,Wp,W]
     x = jnp.einsum("soh,schw->scow", my, x.astype(dt),
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=jnp.float32)             # [S,C,H,W]
     x = jnp.einsum("sow,schw->scho", mx, x.astype(dt),
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=jnp.float32)             # [S,C,H,Wp]
 
     # --- U pass: x-shift per row: src_x = x + u*y  =>  shift = -(u*y) ------
-    shift_x = -(u[:, None] * ys[None, :])                          # [S,Hp]
+    shift_x = -(u[:, None] * ys[None, :])                          # [S,H]
     x = fractional_shift(x, shift_x[:, None, :], axis=-1, compute_dtype=dt)
 
-    out = x[:, :, pad:pad + h, pad:pad + w]
+    out = x[:, :, :, pad:pad + w]
     if fill != 0.0:
         out = out + fill
     return out.astype(cuts.dtype)
