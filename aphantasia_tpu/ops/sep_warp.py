@@ -62,7 +62,9 @@ def _dft_mats_packed(n: int):
 
 
 def fractional_shift(x: jnp.ndarray, shift: jnp.ndarray, axis: int,
-                     compute_dtype=None) -> jnp.ndarray:
+                     compute_dtype=None, n_total: int | None = None,
+                     in_offset: int = 0,
+                     out_window: tuple | None = None) -> jnp.ndarray:
     """Per-slice fractional translation along `axis` via DFT phase — the
     transform runs as two packed MXU matmuls (see _dft_mats_packed), the
     phase multiply on the VPU.
@@ -73,40 +75,66 @@ def fractional_shift(x: jnp.ndarray, shift: jnp.ndarray, axis: int,
     compute_dtype: matmul operand dtype (bf16 halves the HBM traffic of the
             [..., 2nf] spectra; accumulation stays fp32).
 
+    Windowed form (exact, not approximate): `n_total` sets the logical DFT
+    length when the stored input is only a window of it starting at
+    `in_offset` — rows outside the window are zeros, which contribute
+    nothing, so the analysis matrix is just sliced.  `out_window=(start,
+    size)` slices the synthesis columns so only the rows a later crop
+    would keep are ever computed.
+
     Custom VJP: the op is linear in x with S^T == S_{-shift} (per-frequency
-    phase rotations commute with the per-frequency irfft weights), so the
-    backward pass is ONE forward-equivalent pass of the cotangent at -shift
-    — no cos/sin residuals stored, no replayed dot transposes.
+    phase rotations commute with the per-frequency irfft weights; row/col
+    windows transpose into each other), so the backward pass is ONE
+    forward-equivalent pass of the cotangent at -shift with the windows
+    swapped — no cos/sin residuals stored, no replayed dot transposes.
     """
+    if n_total is None:
+        n_total = jnp.moveaxis(x, axis, -1).shape[-1]
+    if out_window is None:
+        out_window = (0, n_total)
     return _frac_shift_vjp(x, shift, axis,
-                           jnp.dtype(compute_dtype or jnp.float32).name)
+                           jnp.dtype(compute_dtype or jnp.float32).name,
+                           n_total, in_offset, out_window)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def _frac_shift_vjp(x, shift, axis, dtype_name):
-    return _frac_shift_impl(x, shift, axis, dtype_name)[0]
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _frac_shift_vjp(x, shift, axis, dtype_name, n, in_offset, out_window):
+    return _frac_shift_impl(x, shift, axis, dtype_name, n_total=n,
+                            in_offset=in_offset, out_window=out_window)[0]
 
 
-def _fs_fwd(x, shift, axis, dtype_name):
-    out, cs = _frac_shift_impl(x, shift, axis, dtype_name)
-    return out, cs     # phase cos/sin reused in bwd (cos even, sin odd)
+def _fs_fwd(x, shift, axis, dtype_name, n, in_offset, out_window):
+    out, cs = _frac_shift_impl(x, shift, axis, dtype_name, n_total=n,
+                               in_offset=in_offset, out_window=out_window)
+    in_size = jnp.moveaxis(x, axis, -1).shape[-1]
+    return out, (cs, in_size)  # phase reused in bwd (cos even, sin odd)
 
 
-def _fs_bwd(axis, dtype_name, cs, g):
-    c, s = cs
-    out, _ = _frac_shift_impl(g, None, axis, dtype_name, phase=(c, -s))
+def _fs_bwd(axis, dtype_name, n, in_offset, out_window, res, g):
+    (c, s), in_size = res
+    # the transpose swaps windows: g lives on the fwd OUTPUT window, the
+    # cotangent lands back on the fwd INPUT window
+    out, _ = _frac_shift_impl(g, None, axis, dtype_name, phase=(c, -s),
+                              n_total=n, in_offset=out_window[0],
+                              out_window=(in_offset, in_size))
     return (out, jnp.zeros(c.shape[:-1], jnp.float32))
 
 
 _frac_shift_vjp.defvjp(_fs_fwd, _fs_bwd)
 
 
-def _frac_shift_impl(x, shift, axis, dtype_name, phase=None):
+def _frac_shift_impl(x, shift, axis, dtype_name, phase=None, n_total=None,
+                     in_offset=0, out_window=None):
     dt = jnp.dtype(dtype_name)
     x = jnp.moveaxis(x, axis, -1)
-    n = x.shape[-1]
+    n_in = x.shape[-1]
+    n = n_total if n_total is not None else n_in
     nf = n // 2 + 1
     analysis, synthesis = (jnp.asarray(m, dt) for m in _dft_mats_packed(n))
+    if n_in != n or in_offset:
+        analysis = analysis[in_offset:in_offset + n_in]
+    if out_window is not None and tuple(out_window) != (0, n):
+        synthesis = synthesis[:, out_window[0]:out_window[0] + out_window[1]]
     ndim = x.ndim
     cdims = (((ndim - 1,), (0,)), ((), ()))
     # spectra are emitted in the compute dtype: the [..., 2nf] intermediates
@@ -193,17 +221,18 @@ def affine_warp(cuts: jnp.ndarray, affines: jnp.ndarray, pad: int = 64,
     xs = jnp.arange(w, dtype=jnp.float32) - (w - 1) / 2.0          # [W]
     ys = jnp.arange(h, dtype=jnp.float32) - (h - 1) / 2.0          # [H]
 
-    # Rectangular plan: pad ONLY the y axis for the L shift's wrap margin —
-    # x stays unpadded through L and D (the D x-matrix's dropped
-    # out-of-range taps ARE the zero pad), D emits just the crop rows but
-    # the full padded x range (the U shift's wrap margin), and U runs on
-    # [h, wp] before the final x crop.  Each pass touches ~2/3 the area of
-    # the naive both-axes-padded pipeline.
-    x = jnp.pad(cuts, ((0, 0), (0, 0), (pad, pad), (0, 0)))       # [S,C,Hp,W]
+    # Rectangular plan: the y pad exists only as the L shift's logical DFT
+    # length — the input stays unpadded (windowed analysis: zero rows
+    # contribute nothing), x stays unpadded through L and D (the D
+    # x-matrix's dropped out-of-range taps ARE the zero pad), D emits just
+    # the crop rows but the full padded x range (the U shift's wrap
+    # margin), and U synthesizes only the final crop columns.  Each pass
+    # touches ~2/3 or less of the naive both-axes-padded pipeline's area.
 
     # --- L pass: src_y = y + l*x  =>  shift = -(l*x) per column ------------
     shift_y = -(l[:, None] * xs[None, :])                          # [S,W]
-    x = fractional_shift(x, shift_y[:, None, :], axis=-2, compute_dtype=dt)
+    x = fractional_shift(cuts, shift_y[:, None, :], axis=-2, compute_dtype=dt,
+                         n_total=hp, in_offset=pad)               # [S,C,Hp,W]
 
     # --- D pass with translation L^-1 t = (tx, ty - l*tx) as offsets -------
     off_x = t[:, 0]
@@ -219,9 +248,8 @@ def affine_warp(cuts: jnp.ndarray, affines: jnp.ndarray, pad: int = 64,
 
     # --- U pass: x-shift per row: src_x = x + u*y  =>  shift = -(u*y) ------
     shift_x = -(u[:, None] * ys[None, :])                          # [S,H]
-    x = fractional_shift(x, shift_x[:, None, :], axis=-1, compute_dtype=dt)
-
-    out = x[:, :, :, pad:pad + w]
+    out = fractional_shift(x, shift_x[:, None, :], axis=-1, compute_dtype=dt,
+                           n_total=wp, out_window=(pad, w))       # [S,C,H,W]
     if fill != 0.0:
         out = out + fill
     return out.astype(cuts.dtype)
