@@ -52,7 +52,7 @@ def _merged_bias(bb: int, t_pad: int, t: int, causal: bool) -> jnp.ndarray:
     return jnp.where(ok, 0.0, -1e30).astype(jnp.float32)
 
 
-def _fwd_kernel(qkv_ref, o_ref, *, bb, n_heads, t, causal):
+def _fwd_kernel(qkv_ref, o_ref, inv_ref, *, bb, n_heads, t, causal):
     t_pad, d3 = qkv_ref.shape[1], qkv_ref.shape[2]
     d = d3 // 3
     hd = d // n_heads
@@ -61,7 +61,7 @@ def _fwd_kernel(qkv_ref, o_ref, *, bb, n_heads, t, causal):
     bias = _merged_bias(bb, t_pad, t, causal)
     qkv = qkv_ref[...].reshape(n, d3)    # ONE sample merge, then lane slices
 
-    outs = []
+    outs, invs = [], []
     for h_i in range(n_heads):
         q = qkv[:, h_i * hd:(h_i + 1) * hd]
         k = qkv[:, d + h_i * hd:d + (h_i + 1) * hd]
@@ -74,14 +74,21 @@ def _fwd_kernel(qkv_ref, o_ref, *, bb, n_heads, t, causal):
         # O(10); exp(60) and the row sums stay far inside f32 range, and the
         # -1e30 masked entries still exp to exactly 0)
         e = jnp.exp(jnp.minimum(s, 60.0))
-        p = (e / jnp.sum(e, -1, keepdims=True)).astype(qkv.dtype)
-        o = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+        # the softmax division is folded into the [n,hd] OUTPUT (not the
+        # [n,n] probabilities), and 1/rowsum is saved for the VJP so the
+        # backward pass never redoes the sum reduction
+        inv = 1.0 / jnp.sum(e, -1, keepdims=True)                # [n,1]
+        o = jax.lax.dot_general(e.astype(qkv.dtype), v,
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32) * inv
         outs.append(o.astype(o_ref.dtype))
+        invs.append(inv)
     o_ref[...] = jnp.concatenate(outs, axis=-1).reshape(bb, t_pad, d)
+    inv_ref[...] = jnp.concatenate(invs, axis=-1).reshape(bb, t_pad, n_heads)
 
 
-def _bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, bb, n_heads, t, causal):
+def _bwd_kernel(qkv_ref, do_ref, inv_ref, dqkv_ref, *, bb, n_heads, t,
+                causal):
     t_pad, d3 = qkv_ref.shape[1], qkv_ref.shape[2]
     d = d3 // 3
     hd = d // n_heads
@@ -90,6 +97,7 @@ def _bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, bb, n_heads, t, causal):
     bias = _merged_bias(bb, t_pad, t, causal)
     qkv = qkv_ref[...].reshape(n, d3)
     do = do_ref[...].reshape(n, d)
+    inv_all = inv_ref[...].reshape(n, n_heads)    # fwd's saved 1/rowsums
 
     dq_parts, dk_parts, dv_parts = [], [], []
     for h_i in range(n_heads):
@@ -101,7 +109,7 @@ def _bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, bb, n_heads, t, causal):
                                 preferred_element_type=jnp.float32) * scale
         s = s + bias
         e = jnp.exp(jnp.minimum(s, 60.0))     # clamp > reduce (see fwd)
-        p32 = e / jnp.sum(e, -1, keepdims=True)                   # [n,n] f32
+        p32 = e * inv_all[:, h_i:h_i + 1]     # saved inv: no sum reduction
         p = p32.astype(qkv.dtype)
         dv = jax.lax.dot_general(p, do_h, (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
@@ -165,22 +173,25 @@ def _core_fwd(qkv, n_heads, causal, valid_t):
     qp = _pad_bt(qkv, bb, t_pad)
     bp = qp.shape[0]
 
-    out = pl.pallas_call(
+    out, inv = pl.pallas_call(
         functools.partial(_fwd_kernel, bb=bb, n_heads=n_heads, t=t_v,
                           causal=causal),
         grid=(bp // bb,),
         in_specs=[pl.BlockSpec((bb, t_pad, d3), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((bb, t_pad, d), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bp, t_pad, d), qkv.dtype),
+        out_specs=(pl.BlockSpec((bb, t_pad, d), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((bb, t_pad, n_heads), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((bp, t_pad, d), qkv.dtype),
+                   jax.ShapeDtypeStruct((bp, t_pad, n_heads), jnp.float32)),
         interpret=_interpret(),
     )(qp)
-    return out[:b, :t], (qkv,)
+    return out[:b, :t], (qkv, inv)
 
 
 def _core_bwd(n_heads, causal, valid_t, res, do):
-    (qkv,) = res
+    qkv, inv = res
     b, t, d3 = qkv.shape
     d = d3 // 3
     t_v = valid_t or t
@@ -198,12 +209,14 @@ def _core_bwd(n_heads, causal, valid_t, res, do):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bb, t_pad, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, t_pad, n_heads), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bb, t_pad, d3), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bp, t_pad, d3), qkv.dtype),
         interpret=_interpret(),
-    )(qp, dop)
+    )(qp, dop, inv)
     return (dqkv[:b, :t],)
 
 

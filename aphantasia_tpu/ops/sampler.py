@@ -121,13 +121,16 @@ class CutoutSampler:
             xidx = jnp.asarray(x_map)[xidx]
         return yidx, yw, xidx, xw
 
-    def weight_matrices(self, boxes: Boxes):
+    def weight_matrices(self, boxes: Boxes, dtype=jnp.float32):
         """Dense per-sample interpolation matrices Wy [S,M,H], Wx [S,M,W].
 
         Built by 4 iota-compare accumulation passes (one per bicubic tap)
         instead of a scatter-add — scatters lower to a serialized op on TPU
         (~2x the whole contraction's cost); the compares are plain VPU work
-        that XLA fuses into one pass over the output."""
+        that XLA fuses into one pass over the output.  `dtype` lets the hot
+        path materialize the matrices directly in the matmul compute dtype
+        (the tap weights accumulate in f32 first, so only the final store
+        rounds)."""
         h, w = self.frame_size
         yidx, yw, xidx, xw = self.tap_indices(boxes)
 
@@ -137,7 +140,7 @@ class CutoutSampler:
             for a in range(4):   # taps can repeat an index at crop borders
                 acc = acc + jnp.where(iota == idx[:, :, a:a + 1],
                                       wts[:, :, a:a + 1], 0.0)
-            return acc
+            return acc.astype(dtype)
 
         return dense(yidx, yw, h), dense(xidx, xw, w)
 
@@ -151,8 +154,8 @@ class CutoutSampler:
         if self.use_pallas:
             from aphantasia_tpu.ops.pallas_cutout import pallas_cut
             return pallas_cut(self, img, boxes)
-        wy, wx = self.weight_matrices(boxes)
         dt = compute_dtype or jnp.float32
+        wy, wx = self.weight_matrices(boxes, dtype=dt)
         imgc = img.astype(dt)
 
         def chunk_fn(args):

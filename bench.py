@@ -45,7 +45,7 @@ def main():
     platform = jax.devices()[0].platform
     on_tpu = platform in ("tpu", "axon")
     if on_tpu:
-        size, samples, steps, warmup = (720, 1280), 200, 5, 2
+        size, samples, steps, warmup = (720, 1280), 200, 3, 1
         dtype = jnp.bfloat16
         chunk = 0
     else:  # CPU fallback so the bench never crashes off-TPU (scaled config)
@@ -73,7 +73,7 @@ def main():
     settings = StepSettings(sim="mix", transform="fast", total_steps=200,
                             clip_dtype=dtype)
     optimizer = build_optimizer("adam_custom", 0.05)
-    inner = 20 if on_tpu else 2
+    inner = 40 if on_tpu else 2
     loop = build_train_loop(par, sampler, cfg, settings, optimizer, inner)
 
     gen_params = par.init(jax.random.PRNGKey(1))
