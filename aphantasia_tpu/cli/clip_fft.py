@@ -224,7 +224,6 @@ def run(a):
         # cutout contraction distributed; image-space loss terms need the
         # full frame and are out of scope for this path
         bad = [f for f, on in [('--dwt', a.dwt), ('--sync', a.sync > 0),
-                               ('--sharp', a.sharp != 0),
                                ('--noise', a.noise > 0),
                                ('--dualmod', a.dualmod is not None),
                                ('--mesh', bool(a.mesh))] if on]

@@ -166,9 +166,13 @@ def setup_mesh(spec, clip_wrappers=(), verbose=True):
         raise SystemExit(
             f"--mesh expects 'N' (data-parallel) or 'NxM' (data x model), "
             f"got {spec!r}: {e}") from None
+    # any mesh: route attention through the einsum path — XLA's SPMD
+    # partitioner cannot partition the fused Pallas custom call (it would
+    # insert gathers at best, miscompile at worst, and we cannot exercise
+    # real multi-chip SPMD on this single-chip box)
+    import aphantasia_tpu.models.clip.model as clip_model
+    clip_model.FUSED_ATTN = False
     if "model" in mesh.axis_names and mesh.shape["model"] > 1:
-        import aphantasia_tpu.models.clip.model as clip_model
-        clip_model.FUSED_ATTN = False
         for w in clip_wrappers:
             if w is not None:
                 w.params = shard_clip_params(w.params, mesh)

@@ -134,28 +134,52 @@ class SpatialFFT:
         var = (s2 - s1 * s1 / cnt) / (cnt - 1)
         return img * jax.lax.rsqrt(var + 1e-20)
 
-    def cut_fn(self, sampler, compute_dtype=None):
-        """Returns cuts(params, wy, wx, shift=None, contrast=1.0) -> [S,C,M,M]
-        (replicated over 'spatial'); wy [S,M,H] arrives H-sharded, wx is
-        replicated.  `sampler` supplies only static config (modsize)."""
+    def _sharp_local(self, img):
+        """'naiv' sharpness (ops/losses.derivat semantics) of the H-sharded
+        image [1,3,h/n,W]: x-diffs are row-local; the y boundary pair uses a
+        one-row halo exchange (ppermute of each shard's first row to its
+        upper neighbor; the wrap pair is masked out)."""
+        h, w = self.size
+        n = self.n
+        dx_sum = jnp.sum(jnp.abs(img[:, :, :, 1:] - img[:, :, :, :-1]))
+        dy_sum = jnp.sum(jnp.abs(img[:, :, 1:, :] - img[:, :, :-1, :]))
+        if n > 1:
+            perm = [(i, (i - 1) % n) for i in range(n)]
+            halo = jax.lax.ppermute(img[:, :, :1, :], "spatial", perm)
+            idx = jax.lax.axis_index("spatial")
+            border = jnp.sum(jnp.abs(halo - img[:, :, -1:, :]))
+            dy_sum = dy_sum + jnp.where(idx < n - 1, border, 0.0)
+        dx = jax.lax.psum(dx_sum, "spatial") / (3 * h * (w - 1))
+        dy = jax.lax.psum(dy_sum, "spatial") / (3 * (h - 1) * w)
+        return 0.5 * (dx + dy)
+
+    def cut_fn(self, sampler, compute_dtype=None, with_sharp=False):
+        """Returns cuts(params, wy, wx, shift=None, contrast=1.0) ->
+        [S,C,M,M] (replicated over 'spatial') — or (cuts, sharp) with
+        `with_sharp` ('naiv' sharpness over the sharded image, one-row halo
+        exchange for the shard-boundary y diffs).  wy [S,M,H] arrives
+        H-sharded, wx is replicated; `sampler` supplies static config."""
         dt = compute_dtype or jnp.float32
         pspec = P(None, None, None, "spatial", None)
 
         def _local(params_loc, scale_loc, wy_loc, wx, shift_loc, contrast):
             img = self._decode_local(params_loc, scale_loc, shift_loc)
-            img = to_valid_rgb(img * contrast, colors=self.colors)[0]  # [3,h/n,W]
+            img = to_valid_rgb(img * contrast, colors=self.colors)  # [1,3,h/n,W]
             # contract W locally, then the local H rows, psum cut-sized only
-            tmp = jnp.einsum("chw,snw->schn", img.astype(dt), wx.astype(dt),
+            tmp = jnp.einsum("chw,snw->schn", img[0].astype(dt), wx.astype(dt),
                              preferred_element_type=jnp.float32)   # [S,C,h/n,M]
             part = jnp.einsum("smh,schn->scmn", wy_loc.astype(dt),
                               tmp.astype(dt),
                               preferred_element_type=jnp.float32)
-            return jax.lax.psum(part, "spatial")
+            cuts = jax.lax.psum(part, "spatial")
+            if with_sharp:
+                return cuts, self._sharp_local(img)
+            return cuts
 
         fn = shard_map(
             _local, mesh=self.mesh,
             in_specs=(pspec, pspec, P(None, None, "spatial"), P(), pspec, P()),
-            out_specs=P(),
+            out_specs=(P(), P()) if with_sharp else P(),
         )
 
         def cuts(params, wy, wx, shift=None, contrast=1.0):
@@ -204,7 +228,9 @@ def build_spatial_train_step(spar: SpatialFFT, sampler, clip_cfg, settings,
     from aphantasia_tpu.models.clip.model import encode_image
 
     transform = get_transform(settings.transform)
-    cuts_fn = spar.cut_fn(sampler, compute_dtype=settings.clip_dtype)
+    with_sharp = settings.sharp != 0
+    cuts_fn = spar.cut_fn(sampler, compute_dtype=settings.clip_dtype,
+                          with_sharp=with_sharp)
 
     def encode_cuts(gen_params, clip_params, key):
         k_box, k_tf = jax.random.split(key)
@@ -213,17 +239,20 @@ def build_spatial_train_step(spar: SpatialFFT, sampler, clip_cfg, settings,
         # the [S,M,H] row matrix is the one H-sized auxiliary: keep it
         # sharded like the image so 4K canvases never replicate it
         wy = jax.lax.with_sharding_constraint(wy, spar.wy_sharding())
-        cuts = cuts_fn(gen_params, wy, wx).astype(settings.clip_dtype)
-        cuts = transform(k_tf, cuts)
+        out = cuts_fn(gen_params, wy, wx)
+        cuts, sharp = out if with_sharp else (out, None)
+        cuts = transform(k_tf, cuts.astype(settings.clip_dtype))
         enc = encode_image(clip_params, clip_cfg, cuts,
                            dtype=settings.clip_dtype)
-        return enc.astype(jnp.float32)
+        return enc.astype(jnp.float32), sharp
 
     def loss_fn(gen_params, clip_params, aest_params, prompts, prev_enc,
                 key, step_i):
         k1, k2 = jax.random.split(key)
-        out_enc = encode_cuts(gen_params, clip_params, k1)
+        out_enc, sharp = encode_cuts(gen_params, clip_params, k1)
         loss = jnp.float32(0.0)
+        if with_sharp:
+            loss = loss - settings.sharp * sharp
         if settings.aest != 0 and aest_params is not None:
             loss = loss - 0.001 * settings.aest * jnp.mean(
                 aesthetic_apply(aest_params, out_enc))
@@ -234,7 +263,7 @@ def build_spatial_train_step(spar: SpatialFFT, sampler, clip_cfg, settings,
                                                   settings.sim)
             loss = loss + coeff * group
         if settings.enforce != 0:
-            enc2 = encode_cuts(gen_params, clip_params, k2)
+            enc2, _ = encode_cuts(gen_params, clip_params, k2)
             loss = loss - settings.enforce * sim_func(out_enc, enc2,
                                                       settings.sim)
         if settings.expand > 0:

@@ -95,3 +95,15 @@ def test_4k_canvas_step_sharded():
     assert np.isfinite(float(val))
     assert grad.sharding.spec == params.sharding.spec
     assert np.isfinite(float(jnp.sum(jnp.abs(grad))))
+
+
+def test_spatial_sharp_matches_derivat():
+    """The halo-exchange 'naiv' sharpness must equal ops/losses.derivat of
+    the gathered image."""
+    from aphantasia_tpu.ops.losses import derivat
+    mesh, spar, par, sampler, params, wy, wx = _setup(size=(128, 192),
+                                                      samples=4)
+    cuts_fn = spar.cut_fn(sampler, with_sharp=True)
+    _, sharp = jax.jit(lambda p: cuts_fn(p, wy, wx))(spar.shard(params))
+    ref = derivat(par.image(params), mode="naiv")
+    np.testing.assert_allclose(float(sharp), float(ref), rtol=1e-4)
