@@ -1,0 +1,46 @@
+"""Secondary benchmark: illustrip frames/min (BASELINE.json names it next
+to the headline it/s).  Runs the real CLI entry point (`illustrip.run`) at
+a video-production config and reports wall-clock frames/min, with and
+without the Depth-Anything-V2 3D warp (the reference notes depth "may
+double rendering time" — IllusTrip3D.ipynb cell 12).
+
+Not driver-run (bench.py stays the single-line contract); record results
+in BASELINE.md.
+"""
+from __future__ import annotations
+
+import json
+import shutil
+import tempfile
+import time
+
+
+def measure(depth: float, frames: int = 16):
+    from aphantasia_tpu.cli import illustrip
+
+    out = tempfile.mkdtemp(prefix="bench_trip_")
+    argv = ["-t", "benchmark scene", "--size", "1280-720",
+            "--steps", str(frames), "--fstep", str(frames),
+            "--opt_step", "3", "--samples", "100", "--gen", "FFT",
+            "--transform", "fast", "--out_dir", out, "-nv"]
+    if depth:
+        argv += ["--depth", str(depth)]
+    a = illustrip.get_args(argv)
+    t0 = time.perf_counter()
+    illustrip.run(a)
+    dt = time.perf_counter() - t0
+    shutil.rmtree(out, ignore_errors=True)
+    return frames / dt * 60.0
+
+
+def main():
+    res = {"config": "1280x720, 100 samples, 3 opt-steps/frame, FFT gen"}
+    res["frames_per_min"] = round(measure(depth=0.0), 1)
+    print(f"illustrip (no depth): {res['frames_per_min']} frames/min")
+    res["frames_per_min_depth"] = round(measure(depth=1.0), 1)
+    print(f"illustrip (3D depth warp): {res['frames_per_min_depth']} frames/min")
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()
