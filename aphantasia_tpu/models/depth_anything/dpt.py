@@ -198,6 +198,9 @@ class InferDepthAny:
         std = jnp.asarray(_IMAGENET_STD)[None, :, None, None]
         x = (image - mean) / std
         depth = self._jitted(self.params, x)
-        dmin = depth.min()
-        dmax = depth.max()
+        # per-SAMPLE min-max (reference depth.py:27-31 normalizes per call
+        # with batch 1; per-sample keeps that exact when callers batch the
+        # mirror pair into one forward)
+        dmin = depth.min(axis=(-3, -2, -1), keepdims=True)
+        dmax = depth.max(axis=(-3, -2, -1), keepdims=True)
         return (depth - dmin) / (dmax - dmin + 1e-12)

@@ -73,8 +73,11 @@ def depthwarp(img_t, img, infer_any, strength=0.0, centre=(0.0, 0.0),
 
     image = resize_bicubic(
         img + 0.5 * (triangle_blur(img, 5, 2.0) - img), dim)
-    depth = infer_any(image)
-    depth = depth * jnp.flip(infer_any(jnp.flip(image, -1)), -1)
+    # the mirror-fused estimate (depth.py:75) as ONE batched forward: the
+    # image and its flip ride the same DA-V2 dispatch (per-sample minmax in
+    # InferDepthAny keeps the numerics identical to two separate calls)
+    pair = infer_any(jnp.concatenate([image, jnp.flip(image, -1)], axis=0))
+    depth = pair[0:1] * jnp.flip(pair[1:2], -1)
     depth = resize_bicubic(depth, (h, w))
 
     if save_path is not None:
