@@ -1,9 +1,13 @@
-"""Pallas TPU kernel for the cutout gather-resize — the framework's hot op.
+"""Pallas TPU kernel for the cutout gather-resize (optional, `--pallas`).
 
 The XLA path (ops/sampler.py) materializes a [S,C,M,W] intermediate in HBM
-between the two interpolation matmuls (~700MB of traffic at 720p/200
-samples).  This kernel keeps the full frame resident in VMEM across the
-sample grid and performs, per sample,
+between the two interpolation matmuls.  This kernel keeps the full frame
+resident in VMEM across the sample grid instead.  NOTE: since the XLA
+path's scatter-free weight build landed, the XLA formulation measures
+FASTER at the headline config (its batched matmuls beat this kernel's
+per-sample serialization), so this stays opt-in — it wins only when HBM
+pressure matters more than MXU occupancy (very large frames with small
+sample counts).  Per sample it computes
 
     cut[c] = (Wy @ img[c]) @ Wx^T
 
