@@ -270,6 +270,15 @@ def run(a):
     pbar = get_progress_bar()(a.steps // a.opt_step)
     prof = trace(a.profile)
     prof.__enter__()
+    from aphantasia_tpu.io.media import AsyncFrameWriter
+    # empirical tone mapping (clip_fft.py:300-304), applied in the writer
+    tone = None
+    if a.sync > 0 and a.in_img is not None:
+        tone = lambda im: ((im / 255.0) ** 1.3 * 255).astype(np.uint8)
+    elif a.sharp != 0:
+        tone = (lambda im: ((im / 255.0) ** (1 + a.sharp / 2.0) * 255)
+                .astype(np.uint8))
+    writer = AsyncFrameWriter()
     for i in range(a.steps):
         key, k_step = jax.random.split(key)
         use2 = clip2 is not None and i in dm_nums
@@ -287,16 +296,13 @@ def run(a):
                 prompts, k_step, jnp.int32(i // a.opt_step))
 
         if i % a.opt_step == 0:
-            img = np.asarray(render(gen_params, contrast=a.contrast))  # uint8 HWC
-            # empirical tone mapping (clip_fft.py:300-304)
-            if a.sync > 0 and a.in_img is not None:
-                img = ((img / 255.0) ** 1.3 * 255).astype(np.uint8)
-            elif a.sharp != 0:
-                img = ((img / 255.0) ** (1 + a.sharp / 2.0) * 255).astype(np.uint8)
-            from aphantasia_tpu.io.media import img_save
-            img_save(os.path.join(tempdir, '%04d.jpg' % (i // a.opt_step)), img)
+            # device array handed straight to the async writer — the
+            # device->host pull and JPEG encode overlap the next step
+            writer.save(os.path.join(tempdir, '%04d.jpg' % (i // a.opt_step)),
+                        render(gen_params, contrast=a.contrast), tone)
             pbar.upd()
 
+    writer.close()
     prof.__exit__(None, None, None)
 
     # ---- assembly ---------------------------------------------------------

@@ -140,17 +140,20 @@ def run(a):
     prev_enc = jnp.zeros((a.samples, clip1.cfg.embed_dim))
     pbar = get_progress_bar()(a.steps)
     from aphantasia_tpu.profiling import trace
+    from aphantasia_tpu.io.media import AsyncFrameWriter
     prof = trace(a.profile)
     prof.__enter__()
+    writer = AsyncFrameWriter()
     for i in range(a.steps):
         key, k_step = jax.random.split(key)
         gen_params, opt_state, prev_enc, loss = step(
             gen_params, opt_state, prev_enc, clip1.params, None, None,
             prompts, k_step, jnp.int32(i))
-        img_save(os.path.join(tempdir, '%04d.jpg' % i),
-                 np.asarray(render(gen_params)))
+        writer.save(os.path.join(tempdir, '%04d.jpg' % i),
+                    render(gen_params))
         pbar.upd()
 
+    writer.close()
     prof.__exit__(None, None, None)
     frames_to_video(tempdir, os.path.join(a.out_dir, out_name + '.mp4'))
     frames = img_list(tempdir)

@@ -20,18 +20,32 @@ from aphantasia_tpu.ops.sampler import CutoutSampler
 
 
 def apply_platform():
-    """Make JAX_PLATFORMS from the user's environment win.
+    """Make JAX_PLATFORMS from the user's environment win, and turn on the
+    persistent compilation cache.
 
     Hosted TPU containers may pin the platform programmatically via
     jax.config at interpreter start (sitecustomize), which beats the env
     var — so `JAX_PLATFORMS=cpu python -m aphantasia_tpu.cli...` would
-    silently run on the TPU.  Called at the top of every CLI run()."""
+    silently run on the TPU.  The compile cache matters a lot for the CLI
+    workflow: a fresh 720p clip_fft process spends minutes compiling what
+    a previous run already compiled.  Called at the top of every CLI
+    run()."""
     want = os.environ.get("JAX_PLATFORMS")
     if want:
         try:
             jax.config.update("jax_platforms", want)
         except Exception:
             pass  # backends already initialized — keep whatever is live
+    cache = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "aphantasia_tpu",
+                     "jax_cache"))
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
 
 def parse_size(size_str):

@@ -187,8 +187,10 @@ def run(a):
     prev_enc = jnp.zeros((a.samples, clip1.cfg.embed_dim))
     pbar = get_progress_bar()(a.steps)
     from aphantasia_tpu.profiling import trace
+    from aphantasia_tpu.io.media import AsyncFrameWriter
     prof = trace(a.profile)
     prof.__enter__()
+    writer = AsyncFrameWriter()
     for i in range(a.steps):
         key, k_step = jax.random.split(key)
         use2 = clip2 is not None and i in dm_nums
@@ -200,11 +202,11 @@ def run(a):
             prompts2 if use2 else prompts1, k_step, jnp.int32(i))
         if i % a.fstep == 0:
             fname = os.path.join(tempdir, '%04d' % (i // a.fstep))
-            from aphantasia_tpu.io.media import img_save
-            img_save(fname + '.jpg', np.asarray(render(gen_params)))
+            writer.save(fname + '.jpg', render(gen_params))
             export_npy(gen_params, fname)
         pbar.upd()
 
+    writer.close()
     prof.__exit__(None, None, None)
     export_npy(gen_params, out_base)
     export_all(to_shader_layers(gen_params, a.actfn), out_base, a.size, a.decim)

@@ -201,8 +201,10 @@ def run(a):
     opt_state = None
 
     from aphantasia_tpu.profiling import trace
+    from aphantasia_tpu.io.media import AsyncFrameWriter
     prof = trace(a.profile)
     prof.__enter__()
+    writer = AsyncFrameWriter()
     try:
         # KeyboardInterrupt salvages completed scenes (reference illustra.py:310)
         for num in range(count):
@@ -250,10 +252,9 @@ def run(a):
                     aest2 if use2 else aest, None,
                     prompts2 if use2 else prompts1, k_step, jnp.int32(i))
                 if i % a.save_step == 0:
-                    from aphantasia_tpu.io.media import img_save
-                    img = np.asarray(render(gen_params, contrast=a.contrast))
-                    img_save(os.path.join(tempdir,
-                                          '%04d.jpg' % (i // a.save_step)), img)
+                    writer.save(os.path.join(
+                        tempdir, '%04d.jpg' % (i // a.save_step)),
+                        render(gen_params, contrast=a.contrast))
                     pbar.upd()
 
             frames = img_list(tempdir)
@@ -270,6 +271,7 @@ def run(a):
     except KeyboardInterrupt:
         print(' interrupted — assembling completed scenes')
     finally:
+        writer.close()
         prof.__exit__(None, None, None)
 
     # ---- final crossfade assembly (illustra.py:313-338) -------------------
@@ -283,18 +285,18 @@ def run(a):
         shift_render = jax.jit(lambda p, s: (jnp.clip(
             par.image(p, shift=s, contrast=a.contrast)[0].transpose(1, 2, 0),
             0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8))
-        from aphantasia_tpu.io.media import img_save
         pbar = get_progress_bar()(vsteps * len(ptfiles))
-        for px in range(len(ptfiles)):
-            p1 = jnp.asarray(np.asarray(load_pt(ptfiles[px]), np.float32))
-            p2 = jnp.asarray(np.asarray(
-                load_pt(ptfiles[(px + 1) % len(ptfiles)]), np.float32))
-            for i in range(vsteps):
-                x = i / vsteps
-                img = np.asarray(shift_render(p1, (p2 - p1) * x))
-                img_save(os.path.join(tempdir,
-                                      '%05d.jpg' % (px * vsteps + i)), img)
-                pbar.upd()
+        with AsyncFrameWriter() as fw:
+            for px in range(len(ptfiles)):
+                p1 = jnp.asarray(np.asarray(load_pt(ptfiles[px]), np.float32))
+                p2 = jnp.asarray(np.asarray(
+                    load_pt(ptfiles[(px + 1) % len(ptfiles)]), np.float32))
+                for i in range(vsteps):
+                    x = i / vsteps
+                    fw.save(os.path.join(tempdir,
+                                         '%05d.jpg' % (px * vsteps + i)),
+                            shift_render(p1, (p2 - p1) * x))
+                    pbar.upd()
         name = basename(a.in_txt) if a.in_txt else 'final'
         frames_to_video(tempdir, os.path.join(a.out_dir, name + '.mp4'),
                         pattern='%05d.jpg', fps=a.fps)

@@ -399,22 +399,25 @@ def run(a):
             if a.smooth:
                 opt_state_carry['s'] = opt_state
 
-            img = np.asarray(render(gen_params, contrast=a.contrast))
-            from aphantasia_tpu.io.media import img_save, cvshow
-            img_save(os.path.join(tempdir, '%06d.jpg' % glob_step), img)
-            if a.verbose:
-                cvshow(img)
+            frame = render(gen_params, contrast=a.contrast)
+            writer.save(os.path.join(tempdir, '%06d.jpg' % glob_step), frame)
+            if a.verbose and os.environ.get('DISPLAY'):
+                from aphantasia_tpu.io.media import cvshow
+                cvshow(np.asarray(frame))
             pbar.upd()
 
     from aphantasia_tpu.profiling import trace
+    from aphantasia_tpu.io.media import AsyncFrameWriter
     prof = trace(a.profile)
     prof.__enter__()
+    writer = AsyncFrameWriter()
     try:
         for i in range(count):
             process(i)
     except KeyboardInterrupt:
         pass
     finally:
+        writer.close()
         prof.__exit__(None, None, None)
 
     frames_to_video(tempdir, os.path.join(workdir, workname + '.mp4'),

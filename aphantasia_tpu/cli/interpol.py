@@ -61,17 +61,17 @@ def main(argv=None):
         par.image(p, shift=shift, contrast=a.contrast)[0].transpose(1, 2, 0),
         0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8))
 
-    from aphantasia_tpu.io.media import img_save
+    from aphantasia_tpu.io.media import AsyncFrameWriter
     pbar = get_progress_bar()(vsteps * len(ptfiles))
-    for px in range(len(ptfiles)):
-        params1 = read_pt(ptfiles[px])
-        params2 = read_pt(ptfiles[(px + 1) % len(ptfiles)])
-        for i in range(vsteps):
-            x = i / vsteps
-            img = np.asarray(render(params1, (params2 - params1) * x))
-            img_save(os.path.join(tempdir, '%05d.jpg' % (px * vsteps + i)),
-                     img)
-            pbar.upd()
+    with AsyncFrameWriter() as fw:
+        for px in range(len(ptfiles)):
+            params1 = read_pt(ptfiles[px])
+            params2 = read_pt(ptfiles[(px + 1) % len(ptfiles)])
+            for i in range(vsteps):
+                x = i / vsteps
+                fw.save(os.path.join(tempdir, '%05d.jpg' % (px * vsteps + i)),
+                        render(params1, (params2 - params1) * x))
+                pbar.upd()
 
     out = frames_to_video(tempdir, '%s-pts.mp4' % a.in_dir.rstrip('/'),
                           pattern='%05d.jpg', fps=a.fps)

@@ -142,3 +142,65 @@ def plot_text(txt, size=224):
     img = img.reshape(fig.canvas.get_width_height()[::-1] + (4,))[:, :, :3]
     plt.close(fig)
     return img.copy()
+
+
+class AsyncFrameWriter:
+    """Overlap frame output with training (SURVEY.md §7 M5 "host-async
+    frame writing").
+
+    The per-step frame save is device->host transfer + JPEG encode + disk —
+    on a tunneled TPU with one host core this dominated CLI wall time
+    (a default 200-step 720p render spent ~3x its compute time in frame
+    I/O).  `save()` enqueues the DEVICE array and returns immediately; a
+    worker thread pulls, tone-maps and encodes while the next training
+    dispatch runs.  The bounded queue (device arrays stay alive inside it)
+    applies back-pressure if the writer falls behind.  Call `close()` (or
+    use as a context manager) before assembling video.
+    """
+
+    def __init__(self, maxsize: int = 16):
+        import queue
+        import threading
+        self._q = queue.Queue(maxsize=maxsize)
+        self._err = None
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _worker(self):
+        import numpy as np
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            path, arr, tone = item
+            try:
+                # NOTE: keep this a plain transfer — issuing device COMPUTE
+                # (e.g. stacking frames to batch the pull) from this thread
+                # serializes against the main thread's dispatches on the
+                # tunneled runtime and made runs ~4x slower
+                arr = np.asarray(arr)          # device->host off the main thread
+                if tone is not None:
+                    arr = tone(arr)
+                img_save(path, arr)
+            except Exception as e:             # surfaced by close()
+                self._err = e
+
+    def save(self, path, device_array, tone=None):
+        """Enqueue a frame; `tone(np_uint8_array) -> np_uint8_array` runs in
+        the worker (the CLIs' empirical tone maps, clip_fft.py:300-304)."""
+        if self._err:
+            raise self._err
+        self._q.put((path, device_array, tone))
+
+    def close(self):
+        self._q.put(None)
+        self._thread.join()
+        if self._err:
+            raise self._err
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
