@@ -16,6 +16,8 @@ import jax.numpy as jnp
 
 from aphantasia_tpu.params.cppn import (
     CPPNParameterizer, export_npy, load_npy, to_shader_layers)
+from aphantasia_tpu.params import siren as siren_mod
+from aphantasia_tpu.params.siren import SIRENParameterizer
 from aphantasia_tpu.ops.sampler import CutoutSampler
 from aphantasia_tpu.ops.losses import aesthetic_get, aesthetic_dims
 from aphantasia_tpu.parallel.step import StepSettings, build_train_step
@@ -48,16 +50,20 @@ def get_args(argv=None):
     parser.add_argument('-v',  '--verbose', action='store_true')
     parser.add_argument('-ex', '--export',  action='store_true', help='Only export shaders from snapshot')
     # networks
-    parser.add_argument('-l',  '--layers',  default=10, type=int)
-    parser.add_argument('-nf', '--nf',      default=24, type=int)
+    parser.add_argument('-gen', '--generator', default='cppn', choices=['cppn', 'siren'],
+                        help='coordinate net: CPPN (atan MLP) or SIREN (sine MLP)')
+    parser.add_argument('-l',  '--layers',  default=None, type=int)
+    parser.add_argument('-nf', '--nf',      default=None, type=int)
     parser.add_argument('-act', '--actfn',  default='unbias', choices=['unbias', 'comp', 'relu'])
+    parser.add_argument('--w0',       default=30., type=float, help='SIREN hidden frequency')
+    parser.add_argument('--w0_first', default=30., type=float, help='SIREN first-layer frequency')
     parser.add_argument('-dec', '--decim',  default=3, type=int, help='Decimal precision for export')
     # training
     parser.add_argument('-m',  '--model',   default='ViT-B/32', choices=CLIP_MODELS)
     parser.add_argument('-dm', '--dualmod', default=None, type=int)
     parser.add_argument('--steps',   default=200, type=int)
     parser.add_argument('--samples', default=50, type=int)
-    parser.add_argument('-lr', '--lrate',   default=0.003, type=float)
+    parser.add_argument('-lr', '--lrate',   default=None, type=float)
     parser.add_argument('-a',  '--align',   default='overscan', choices=['central', 'uniform', 'overscan'])
     parser.add_argument('-sh', '--sharp',   default=0, type=float)
     parser.add_argument('-tf', '--transform', action='store_true', help='use augmenting transforms?')
@@ -73,6 +79,14 @@ def get_args(argv=None):
     a.size = parse_size(a.size)
     if a.dualmod is not None:
         a.model = 'ViT-B/32'
+    # per-generator defaults (SIREN paper uses wide/shallow nets + small lr)
+    siren = a.generator == 'siren'
+    if a.nf is None:
+        a.nf = 256 if siren else 24
+    if a.layers is None:
+        a.layers = 5 if siren else 10
+    if a.lrate is None:
+        a.lrate = 1e-4 if siren else 0.003
     return a
 
 
@@ -88,21 +102,38 @@ def run(a):
     dtype = resolve_dtype(a.precision)
 
     # model (resume infers architecture, cppn.py:118-133)
+    siren = a.generator == 'siren'
     if a.resume is not None and os.path.isfile(a.resume):
-        gen_params, nf, num_layers, act_fn = load_npy(a.resume)
-        a.nf, a.layers, a.actfn = nf, num_layers, act_fn
-        par = CPPNParameterizer(tuple(a.size), nf, num_layers, act_fn)
+        if siren:
+            gen_params, nf, num_layers = siren_mod.load_npy(
+                a.resume, a.w0, a.w0_first)
+            a.nf, a.layers = nf, num_layers
+            par = SIRENParameterizer(tuple(a.size), nf, num_layers,
+                                     a.w0, a.w0_first)
+        else:
+            gen_params, nf, num_layers, act_fn = load_npy(a.resume)
+            a.nf, a.layers, a.actfn = nf, num_layers, act_fn
+            par = CPPNParameterizer(tuple(a.size), nf, num_layers, act_fn)
         print(' loaded:', a.resume)
+    elif siren:
+        par = SIRENParameterizer(tuple(a.size), a.nf, a.layers,
+                                 a.w0, a.w0_first)
+        gen_params = par.init(k_init)
     else:
         par = CPPNParameterizer(tuple(a.size), a.nf, a.layers, a.actfn)
         gen_params = par.init(k_init)
     print(' .. %d vars, %d layers, %d nf, act %s'
-          % (2 * len(gen_params), a.layers, a.nf, a.actfn))
+          % (2 * len(gen_params), a.layers, a.nf,
+             'sine w0=%g' % a.w0 if siren else a.actfn))
+
+    def shader_layers(params):
+        return (siren_mod.to_shader_layers(params, a.w0, a.w0_first)
+                if siren else to_shader_layers(params, a.actfn))
 
     if a.export:
         print('exporting')
         base = a.resume.replace('.npy', '')
-        export_all(to_shader_layers(gen_params, a.actfn), base, a.size, a.decim)
+        export_all(shader_layers(gen_params), base, a.size, a.decim)
         img = np.asarray(par.image(gen_params))[0]
         checkout(img, a.resume.replace('.npy', '.jpg'), verbose=False)
         return
@@ -157,6 +188,8 @@ def run(a):
     if a.in_img and os.path.isfile(a.in_img):
         out_name.append(basename(a.in_img).replace(' ', '_'))
     sfx = '-l%d-n%d' % (a.layers, a.nf)
+    if siren:
+        sfx += '-siren'
     if a.dualmod is not None:
         sfx += '-dm%d' % a.dualmod
     if a.aest != 0:
@@ -209,7 +242,7 @@ def run(a):
     writer.close()
     prof.__exit__(None, None, None)
     export_npy(gen_params, out_base)
-    export_all(to_shader_layers(gen_params, a.actfn), out_base, a.size, a.decim)
+    export_all(shader_layers(gen_params), out_base, a.size, a.decim)
     frames_to_video(tempdir, out_base + '.avi')
     frames = img_list(tempdir)
     if frames:

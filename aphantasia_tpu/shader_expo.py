@@ -75,6 +75,9 @@ def _layer_code(e: _Emitter, layers, mode: str) -> str:
                         code += "bufB[%d] = (tmp*tmp - 0.45) / 0.396;\n" % (to + half)
                 elif activation == "relu":
                     code += "bufB[%d] = (max(bufA[%d], 0.) - 0.4) / 0.58;\n" % (to, to)
+                elif activation == "sine":
+                    # SIREN layer; w0 is pre-folded into the exported weights
+                    code += "bufB[%d] = sin(bufA[%d]);\n" % (to, to)
                 else:
                     raise ValueError("unknown activation: %r" % activation)
         else:
