@@ -155,6 +155,14 @@ def add_parallel_flags(parser):
                         help='Capture a jax.profiler trace into this directory')
     parser.add_argument('--pallas', action='store_true',
                         help='Use the Pallas VMEM-resident cutout kernel')
+    parser.add_argument('--fleet', default=None,
+                        help="multi-host fleet coordinates 'RANK/WORLD"
+                             "[@COORDINATOR:PORT]' (or APHANTASIA_FLEET env); "
+                             "with a coordinator, starts the JAX multi-process "
+                             "runtime (DCN). Scene-level fan-out: illustra "
+                             "shards scenes, interpol shards snapshot pairs; "
+                             "other CLIs accept the runtime but run their "
+                             "whole job per host")
     return parser
 
 

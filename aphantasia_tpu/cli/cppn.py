@@ -97,6 +97,9 @@ def main(argv=None):
 
 def run(a):
     apply_platform()
+    from aphantasia_tpu.parallel.multihost import init_fleet
+    init_fleet(getattr(a, 'fleet', None))  # starts the JAX
+    # multi-process runtime on pods; this CLI runs its whole job per host
     key = jax.random.PRNGKey(a.seed)
     key, k_clip, k_init = jax.random.split(key, 3)
     dtype = resolve_dtype(a.precision)

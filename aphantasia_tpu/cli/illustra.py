@@ -98,6 +98,9 @@ def main(argv=None):
 
 def run(a):
     apply_platform()
+    from aphantasia_tpu.parallel.multihost import init_fleet, shard_scenes
+    rank, world = init_fleet(getattr(a, 'fleet', None))
+    fleet = world > 1
     key = jax.random.PRNGKey(a.seed)
     key, k_clip, k_init = jax.random.split(key, 3)
     dtype = resolve_dtype(a.precision)
@@ -200,6 +203,12 @@ def run(a):
     gen_params = None
     opt_state = None
 
+    # fleet fan-out: one independent scene per host over DCN (SURVEY §2.6);
+    # keep-chaining is sequential, so fleet scenes always start fresh
+    scene_ids = shard_scenes(count) if fleet else list(range(count))
+    if fleet:
+        print(' fleet %d/%d: scenes %s of %d' % (rank, world, scene_ids, count))
+
     from aphantasia_tpu.profiling import trace
     from aphantasia_tpu.io.media import AsyncFrameWriter
     prof = trace(a.profile)
@@ -207,8 +216,8 @@ def run(a):
     writer = AsyncFrameWriter()
     try:
         # KeyboardInterrupt salvages completed scenes (reference illustra.py:310)
-        for num in range(count):
-            if num == 0 or a.separate:
+        for num in scene_ids:
+            if num == scene_ids[0] or a.separate or fleet:
                 gen_params, sz = resume_fft(a.resume, [1, 3, *a.size], a.decay,
                                             sd=0.08, key=jax.random.fold_in(k_init, num))
                 gen_params = jnp.asarray(np.asarray(gen_params, np.float32))
@@ -237,7 +246,7 @@ def run(a):
                 print(out_name)
             tempdir = os.path.join(workdir, out_name)
             os.makedirs(tempdir, exist_ok=True)
-            if num == 0:
+            if num == scene_ids[0] and rank == 0:
                 save_cfg(a, workdir, out_name + '.txt')
 
             prev_enc = jnp.zeros((a.samples, clip1.cfg.embed_dim))
@@ -275,6 +284,21 @@ def run(a):
         prof.__exit__(None, None, None)
 
     # ---- final crossfade assembly (illustra.py:313-338) -------------------
+    if fleet and not a.separate:
+        # only the primary assembles, once every host's snapshots are on the
+        # shared out_dir (poll bounded by APHANTASIA_FLEET_WAIT seconds)
+        if rank != 0:
+            return
+        import time
+        deadline = time.monotonic() + float(
+            os.environ.get('APHANTASIA_FLEET_WAIT', '0'))
+        while len(file_list(workdir, 'pt')) < count:
+            if time.monotonic() >= deadline:
+                print(' fleet: %d/%d scene snapshots present — rerun on one '
+                      'host (or run interpol on %s) to assemble the piece'
+                      % (len(file_list(workdir, 'pt')), count, workdir))
+                return
+            time.sleep(2.0)
     if not a.separate:
         vsteps = a.lsteps if a.length is None else int(a.length * a.fps / count)
         tempdir = os.path.join(workdir, '_final')

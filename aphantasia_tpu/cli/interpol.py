@@ -32,6 +32,9 @@ def get_args(argv=None):
     parser.add_argument('--colors', default=1.8, type=float)
     parser.add_argument('-d', '--decay', default=1.5, type=float)
     parser.add_argument('-v', '--verbose', default=True, type=bool)
+    parser.add_argument('--fleet', default=None,
+                        help="'RANK/WORLD[@COORDINATOR:PORT]' — shard "
+                             "snapshot pairs across hosts (DCN fan-out)")
     return parser.parse_args(argv)
 
 
@@ -44,8 +47,11 @@ def read_pt(file):
 
 def main(argv=None):
     from aphantasia_tpu.cli.common import apply_platform
+    from aphantasia_tpu.parallel.multihost import init_fleet, shard_scenes
     apply_platform()
     a = get_args(argv)
+    # before ANY jax op — jax.distributed.initialize must precede backend init
+    rank, world = init_fleet(a.fleet)
     tempdir = os.path.join(a.out_dir, 'a')
     os.makedirs(tempdir, exist_ok=True)
 
@@ -61,10 +67,13 @@ def main(argv=None):
         par.image(p, shift=shift, contrast=a.contrast)[0].transpose(1, 2, 0),
         0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8))
 
+    # fleet fan-out: transitions are independent -> one pair per host
+    pairs = shard_scenes(len(ptfiles), rank, world)
+
     from aphantasia_tpu.io.media import AsyncFrameWriter
-    pbar = get_progress_bar()(vsteps * len(ptfiles))
+    pbar = get_progress_bar()(vsteps * len(pairs))
     with AsyncFrameWriter() as fw:
-        for px in range(len(ptfiles)):
+        for px in pairs:
             params1 = read_pt(ptfiles[px])
             params2 = read_pt(ptfiles[(px + 1) % len(ptfiles)])
             for i in range(vsteps):
@@ -73,6 +82,22 @@ def main(argv=None):
                         render(params1, (params2 - params1) * x))
                 pbar.upd()
 
+    if world > 1:
+        if rank != 0:
+            return
+        import time
+        expected = vsteps * len(ptfiles)
+        deadline = time.monotonic() + float(
+            os.environ.get('APHANTASIA_FLEET_WAIT', '0'))
+        n_frames = len([f for f in os.listdir(tempdir) if f.endswith('.jpg')])
+        while n_frames < expected:
+            if time.monotonic() >= deadline:
+                print(' fleet: %d/%d frames present — rerun on one host to '
+                      'assemble' % (n_frames, expected))
+                return
+            time.sleep(2.0)
+            n_frames = len([f for f in os.listdir(tempdir)
+                            if f.endswith('.jpg')])
     out = frames_to_video(tempdir, '%s-pts.mp4' % a.in_dir.rstrip('/'),
                           pattern='%05d.jpg', fps=a.fps)
     if out and a.verbose:
