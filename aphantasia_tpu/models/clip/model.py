@@ -122,6 +122,29 @@ def mha(x, p, n_heads, mask=None, causal=False, valid_t=None):
     return o @ p["out_w"].astype(x.dtype) + p["out_b"].astype(x.dtype)
 
 
+def mha_flat(x, p, n_heads, t):
+    """mha over the flat sample-major stream [b*t, d] (fused path only):
+    projections run un-padded; only the kernel sees the sample structure."""
+    from aphantasia_tpu.ops.pallas_attn import attention_core_flat
+    qkv = x @ p["in_w"].astype(x.dtype) + p["in_b"].astype(x.dtype)
+    o = attention_core_flat(qkv, n_heads, t)
+    return o @ p["out_w"].astype(x.dtype) + p["out_b"].astype(x.dtype)
+
+
+def resblock_flat(x, p, n_heads, t):
+    x = x + mha_flat(layer_norm(x, p["ln_1"]), p["attn"], n_heads, t)
+    h = layer_norm(x, p["ln_2"])
+    h = quick_gelu(h @ p["mlp"]["fc_w"].astype(x.dtype) + p["mlp"]["fc_b"].astype(x.dtype))
+    h = h @ p["mlp"]["proj_w"].astype(x.dtype) + p["mlp"]["proj_b"].astype(x.dtype)
+    return x + h
+
+
+def transformer_flat(x, blocks, n_heads, t):
+    for p in blocks:
+        x = resblock_flat(x, p, n_heads, t)
+    return x
+
+
 def resblock(x, p, n_heads, mask=None, causal=False, valid_t=None):
     x = x + mha(layer_norm(x, p["ln_1"]), p["attn"], n_heads, mask,
                 causal=causal, valid_t=valid_t)
@@ -174,17 +197,34 @@ def vit_encode(params, cfg: CLIPConfig, x, dtype=jnp.float32):
     x = x.transpose(0, 2, 4, 1, 3, 5).reshape(b, gh * gw, c * p * p)
     x = x @ params["conv"].astype(dtype)
     cls = jnp.broadcast_to(params["class_emb"].astype(dtype), (b, 1, x.shape[-1]))
-    # token pad folded into the embedding concat: a mid-tower jnp.pad makes
-    # XLA assign a {2,0,1} activation layout that drags every transformer
-    # matmul below 20% MFU; zero-token concat here keeps {2,1,0}.  Pad rows
-    # are key-masked in attention (valid_t) and row-local everywhere else;
-    # only the cls row (row 0) is ever read out.
     t_real = 1 + x.shape[1]
+    d = x.shape[-1]
+    from aphantasia_tpu.ops.pallas_attn import flat_geometry
+    if _fused_attn_active() and flat_geometry(t_real, dtype) is not None:
+        # FLAT residual stream [b*t, d]: zero token padding, so every
+        # projection/MLP matmul runs at the real token count (t=50, not the
+        # 64-row sublane pad — a 28% flops cut for ViT-B).  This also kills
+        # the layout problem the older pre-padded path fought (an axis-1
+        # concat/pad drove XLA to a {2,0,1} activation layout): the one
+        # reshape here pins the stream to a plain 2D row-major layout that
+        # every downstream matmul likes.
+        x = jnp.concatenate([cls, x], axis=1)
+        x = x + params["pos_emb"].astype(dtype)
+        x = layer_norm(x, params["ln_pre"])
+        xf = x.reshape(b * t_real, d)
+        xf = transformer_flat(xf, params["blocks"], cfg.vision_heads, t_real)
+        x = xf.reshape(b, t_real, d)
+        x = layer_norm(x[:, 0], params["ln_post"])
+        return x @ params["proj"].astype(dtype)
     t_pad = _padded_t(t_real, dtype)
     if t_pad != t_real and _fused_attn_active():
-        # dynamic-update-slice instead of concat: an axis-1 concat makes
-        # XLA pick a dim1-major {2,0,1} activation layout that the residual
-        # chain then carries through every transformer matmul
+        # pre-padded fused path (odd token counts where flat-block alignment
+        # would blow VMEM, e.g. ViT-L/14's t=257 — see flat_geometry).
+        # dynamic-update-slice instead of concat: an axis-1 concat makes XLA
+        # pick a dim1-major {2,0,1} activation layout that the residual
+        # chain then carries through every transformer matmul.  Pad rows are
+        # key-masked in attention (valid_t) and row-local everywhere else;
+        # only the cls row (row 0) is ever read out.
         base = jnp.zeros((b, t_pad, x.shape[-1]), dtype)
         base = jax.lax.dynamic_update_slice(base, cls, (0, 0, 0))
         x = jax.lax.dynamic_update_slice(base, x, (0, 1, 0))

@@ -129,6 +129,76 @@ def _bwd_kernel(qkv_ref, do_ref, inv_ref, dqkv_ref, *, bb, n_heads, t,
     dqkv_ref[...] = dqkv.reshape(bb, t_pad, d3)
 
 
+def _fwd_kernel_flat(qkv_ref, o_ref, inv_ref, *, bb, n_heads, t, causal):
+    """Flat variant: the block is [bb*t, 3d] rows of a 2D sample-major
+    stream — no token padding exists anywhere (see attention_core_flat)."""
+    n, d3 = qkv_ref.shape
+    d = d3 // 3
+    hd = d // n_heads
+    scale = 1.0 / np.sqrt(hd)
+    bias = _merged_bias(bb, t, t, causal)
+    qkv = qkv_ref[...]
+
+    outs, invs = [], []
+    for h_i in range(n_heads):
+        q = qkv[:, h_i * hd:(h_i + 1) * hd]
+        k = qkv[:, d + h_i * hd:d + (h_i + 1) * hd]
+        v = qkv[:, 2 * d + h_i * hd:2 * d + (h_i + 1) * hd]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        s = s + bias
+        e = jnp.exp(jnp.minimum(s, 60.0))       # clamp > reduce (see _fwd_kernel)
+        inv = 1.0 / jnp.sum(e, -1, keepdims=True)
+        o = jax.lax.dot_general(e.astype(qkv.dtype), v,
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32) * inv
+        outs.append(o.astype(o_ref.dtype))
+        invs.append(inv)
+    o_ref[...] = jnp.concatenate(outs, axis=-1)
+    inv_ref[...] = jnp.concatenate(invs, axis=-1)
+
+
+def _bwd_kernel_flat(qkv_ref, do_ref, inv_ref, dqkv_ref, *, bb, n_heads, t,
+                     causal):
+    n, d3 = qkv_ref.shape
+    d = d3 // 3
+    hd = d // n_heads
+    scale = 1.0 / np.sqrt(hd)
+    bias = _merged_bias(bb, t, t, causal)
+    qkv = qkv_ref[...]
+    do = do_ref[...]
+    inv_all = inv_ref[...]
+
+    dt = dqkv_ref.dtype
+    for h_i in range(n_heads):
+        q = qkv[:, h_i * hd:(h_i + 1) * hd]
+        k = qkv[:, d + h_i * hd:d + (h_i + 1) * hd]
+        v = qkv[:, 2 * d + h_i * hd:2 * d + (h_i + 1) * hd]
+        do_h = do[:, h_i * hd:(h_i + 1) * hd]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        s = s + bias
+        e = jnp.exp(jnp.minimum(s, 60.0))
+        p32 = e * inv_all[:, h_i:h_i + 1]
+        p = p32.astype(qkv.dtype)
+        dv = jax.lax.dot_general(p, do_h, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do_h, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p32 * (dp - jnp.sum(dp * p32, -1, keepdims=True))
+        ds = (ds * scale).astype(qkv.dtype)
+        dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        # per-head stores (lane slices at hd multiples): holding all
+        # 3*n_heads parts for one big concat overflows the VMEM stack at
+        # 400-row blocks (measured 17.2M > 16M limit)
+        dqkv_ref[:, h_i * hd:(h_i + 1) * hd] = dq.astype(dt)
+        dqkv_ref[:, d + h_i * hd:d + (h_i + 1) * hd] = dk.astype(dt)
+        dqkv_ref[:, 2 * d + h_i * hd:2 * d + (h_i + 1) * hd] = dv.astype(dt)
+
+
 def _tile(dtype) -> int:
     return 16 if dtype == jnp.bfloat16 else 8
 
@@ -221,3 +291,108 @@ def _core_bwd(n_heads, causal, valid_t, res, do):
 
 
 attention_core.defvjp(_core_fwd, _core_bwd)
+
+
+# ------------------------------------------------------------- flat variant
+
+def flat_geometry(t: int, dtype):
+    """Samples per block `bb` for the flat (un-padded) kernel, or None when
+    the geometry is unusable.
+
+    Unlike `attention_core`, T is NEVER padded: the 2D sample-major stream
+    is cut into blocks of bb*t rows, with bb chosen so bb*t is a multiple
+    of the sublane tile (t=50 bf16 -> bb=8, 400 rows) and >= ~256 rows for
+    MXU occupancy. Returns None when alignment would force huge blocks
+    (e.g. odd T like 257 -> bb=16 -> 4112-row scores blow VMEM)."""
+    tile = _tile(dtype)
+    bb = 1
+    while (bb * t) % tile != 0:
+        bb += 1
+    while bb * t < 256:
+        bb *= 2
+    if bb * t > 1024:
+        return None
+    return bb
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def attention_core_flat(qkv, n_heads, t, causal=False):
+    """softmax(q k^T/√hd) v over a FLAT sample-major stream — zero padding.
+
+    qkv [R, 3D] with R = b*t rows (sample-major: rows i*t..(i+1)*t-1 are
+    sample i) -> out [R, D].  Built for the un-padded ViT residual stream:
+    keeping activations [b*t, d] instead of [b, t_pad, d] removes the
+    t_pad/t (64/50 for ViT-B) flops overhead from EVERY projection/MLP
+    matmul in the tower; this kernel is the only op that needs the sample
+    structure, and it gets it from iota arithmetic, not from layout.
+    Exact VJP (d_qkv)."""
+    out, _ = _flat_fwd(qkv, n_heads, t, causal)
+    return out
+
+
+def _pad_rows(x, block):
+    r = x.shape[0]
+    pad = (-r) % block
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad, x.shape[1]), x.dtype)])
+    return x
+
+
+def _flat_fwd(qkv, n_heads, t, causal):
+    r, d3 = qkv.shape
+    d = d3 // 3
+    bb = flat_geometry(t, qkv.dtype)
+    assert bb is not None, f"flat attention unusable for t={t}"
+    block = bb * t
+    qp = _pad_rows(qkv, block)
+    rp = qp.shape[0]
+
+    out, inv = pl.pallas_call(
+        functools.partial(_fwd_kernel_flat, bb=bb, n_heads=n_heads, t=t,
+                          causal=causal),
+        grid=(rp // block,),
+        in_specs=[pl.BlockSpec((block, d3), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((block, d), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((block, n_heads), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((rp, d), qkv.dtype),
+                   jax.ShapeDtypeStruct((rp, n_heads), jnp.float32)),
+        interpret=_interpret(),
+    )(qp)
+    return out[:r], (qkv, inv)
+
+
+def _flat_bwd(n_heads, t, causal, res, do):
+    qkv, inv = res
+    r, d3 = qkv.shape
+    d = d3 // 3
+    bb = flat_geometry(t, qkv.dtype)
+    block = bb * t
+    qp = _pad_rows(qkv, block)
+    dop = _pad_rows(do.astype(qkv.dtype), block)
+    invp = _pad_rows(inv, block)
+    rp = qp.shape[0]
+
+    dqkv = pl.pallas_call(
+        functools.partial(_bwd_kernel_flat, bb=bb, n_heads=n_heads, t=t,
+                          causal=causal),
+        grid=(rp // block,),
+        in_specs=[
+            pl.BlockSpec((block, d3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, n_heads), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block, d3), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rp, d3), qkv.dtype),
+        interpret=_interpret(),
+    )(qp, dop, invp)
+    return (dqkv[:r],)
+
+
+attention_core_flat.defvjp(_flat_fwd, _flat_bwd)

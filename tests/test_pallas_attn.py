@@ -68,6 +68,42 @@ def test_attention_core_valid_t_prepadded():
                                atol=2e-5, rtol=2e-4)
 
 
+def test_flat_geometry():
+    from aphantasia_tpu.ops.pallas_attn import flat_geometry
+    assert flat_geometry(50, jnp.bfloat16) == 8      # 400 rows, tile-aligned
+    assert flat_geometry(64, jnp.bfloat16) == 4      # already aligned -> 256
+    assert flat_geometry(257, jnp.bfloat16) is None  # 4112-row blocks: no
+    bb = flat_geometry(50, jnp.float32)
+    assert (bb * 50) % 8 == 0 and bb * 50 >= 256
+
+
+@pytest.mark.parametrize("b,t,h,hd", [(3, 10, 2, 8), (9, 50, 4, 16)])
+def test_attention_core_flat_fwd(b, t, h, hd):
+    """Flat [b*t, 3d] stream == per-sample reference attention."""
+    from aphantasia_tpu.ops.pallas_attn import attention_core_flat
+    d = h * hd
+    qkv = jax.random.normal(jax.random.PRNGKey(4), (b, t, 3 * d))
+    out = attention_core_flat(qkv.reshape(b * t, 3 * d), h, t)
+    ref = ref_attention(qkv, h)
+    np.testing.assert_allclose(np.asarray(out.reshape(b, t, d)),
+                               np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_attention_core_flat_grad():
+    from aphantasia_tpu.ops.pallas_attn import attention_core_flat
+    b, t, h, hd = 5, 10, 2, 8
+    d = h * hd
+    qkv = jax.random.normal(jax.random.PRNGKey(5), (b, t, 3 * d))
+    co = jax.random.normal(jax.random.PRNGKey(6), (b, t, d))
+
+    g_k = jax.grad(lambda q: jnp.sum(
+        attention_core_flat(q.reshape(b * t, 3 * d), h, t).reshape(b, t, d)
+        * co))(qkv)
+    g_r = jax.grad(lambda q: jnp.sum(ref_attention(q, h) * co))(qkv)
+    np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_r),
+                               atol=2e-5, rtol=2e-4)
+
+
 @pytest.mark.slow
 def test_fused_tower_matches_xla_tower():
     """encode_image with FUSED_ATTN forced through interpret mode == XLA."""
