@@ -26,7 +26,8 @@ from aphantasia_tpu.ops.sampler import CutoutSampler
 from aphantasia_tpu.ops.optim import build_optimizer
 from aphantasia_tpu.ops.losses import aesthetic_get, aesthetic_dims
 from aphantasia_tpu.ops.warp import frame_transform
-from aphantasia_tpu.parallel.step import StepSettings, build_train_step, build_render
+from aphantasia_tpu.parallel.step import (
+    StepSettings, build_train_step, build_frame_step, build_render)
 from aphantasia_tpu.cli.common import (
     ClipWrapper, parse_size, build_prompt_groups, dualmod_steps,
     maybe_translate, resolve_dtype, add_parallel_flags, setup_mesh, apply_platform)
@@ -285,12 +286,26 @@ def run(a):
         noise=a.noise if a.gen == 'FFT' else 0.0, noise_centered=True,
         total_steps=steps, rgb_anchors=(a.gen == 'RGB'),
         transform=a.transform, clip_dtype=dtype)
-    step1 = build_train_step(par, sampler, clip1.cfg, settings, optimizer,
-                             mesh=mesh)
-    step2 = (build_train_step(par, sampler, clip2.cfg, settings, optimizer,
-                              mesh=mesh)
-             if clip2 else None)
-    render = build_render(par)
+    # the whole frame advance (motion warp -> N opt steps -> render) runs as
+    # ONE jitted program; the unfused per-op path remains only for the
+    # depth-map JPEG dump, which needs the depth tensor on the host
+    fused = a.depth_dir is None
+    if fused:
+        frame_step1 = build_frame_step(
+            par, sampler, clip1.cfg, settings, optimizer, a.gen,
+            tuple(a.size), a.opt_step, a.smooth, a.contrast, deptha=deptha,
+            depth=a.depth, colors=a.colors, mesh=mesh)
+        frame_step2 = (build_frame_step(
+            par, sampler, clip2.cfg, settings, optimizer, a.gen,
+            tuple(a.size), a.opt_step, a.smooth, a.contrast, deptha=deptha,
+            depth=a.depth, colors=a.colors, mesh=mesh) if clip2 else None)
+    else:
+        step1 = build_train_step(par, sampler, clip1.cfg, settings, optimizer,
+                                 mesh=mesh)
+        step2 = (build_train_step(par, sampler, clip2.cfg, settings,
+                                  optimizer, mesh=mesh)
+                 if clip2 else None)
+        render = build_render(par)
     dm_nums = dualmod_steps(steps, a.dualmod) if a.dualmod else set()
 
     # FFT-domain motion round-trip, jitted (illustrip.py:393-409)
@@ -311,6 +326,10 @@ def run(a):
         img, (h, w), ang, (sh0, sh1), sc, shr))
 
     opt_state_carry = {}
+    if fused:
+        # seed state for the fused program's carry (re-initialized in-graph
+        # every frame unless --smooth)
+        opt_state_carry['s'] = optimizer.init(params_tmp)
     prev_enc = jnp.zeros((a.samples, clip1.cfg.embed_dim))
     glob_start = time.time()
     key_run = key
@@ -350,35 +369,9 @@ def run(a):
             angle = float(m_angle[glob_step][0]) if a.anima else a.angle
             shear = float(m_shear[glob_step][0]) if a.anima else a.shear
 
-            # MOTION on parameter state (illustrip.py:379-409)
-            if a.gen == 'RGB':
-                if a.depth > 0:
-                    from aphantasia_tpu.motion.depthwarp import depth_transform
-                    params_tmp = depth_transform(
-                        params_tmp, deptha, a.depth, scale, shift, a.colors,
-                        a.depth_dir, glob_step)
-                params_tmp = warp_jit(params_tmp, angle,
-                                      float(shift[0]), float(shift[1]),
-                                      scale, shear)
-                gen_params = params_tmp
-            else:
-                img_tmp = fft_to_img(params_tmp)
-                if a.depth > 0:
-                    from aphantasia_tpu.motion.depthwarp import depth_transform
-                    img_tmp = depth_transform(
-                        img_tmp, deptha, a.depth, scale, shift, a.colors,
-                        a.depth_dir, glob_step)
-                img_tmp = warp_jit(img_tmp, angle, float(shift[0]),
-                                   float(shift[1]), scale, shear)
-                gen_params = img_to_fft(img_tmp)
-
-            # fresh optimizer each frame; --smooth carries state
-            opt_state = (opt_state_carry.get('s') if (a.smooth and glob_step > 0)
-                         else optimizer.init(gen_params))
-
             use2 = clip2 is not None and ii in dm_nums
-            step = step2 if use2 else step1
             clip_w = clip2.params if use2 else clip1.params
+            aest_w = aest2 if use2 else aest
 
             groups = []
             for encs in (txt_encs, styl_encs, not_encs, img_encs):
@@ -391,18 +384,58 @@ def run(a):
                     groups.append((embs, wts, coeff))
             prompts = build_prompt_groups(groups)
 
-            for ss in range(a.opt_step):
+            if fused:
+                # motion + opt steps + render as one program (step.py:
+                # build_frame_step) — the motion scalars are traced, so the
+                # schedule never recompiles
+                motion = (jnp.float32(angle), jnp.float32(float(shift[0])),
+                          jnp.float32(float(shift[1])), jnp.float32(scale),
+                          jnp.float32(shear))
+                fs = frame_step2 if use2 else frame_step1
                 key_run, k_step = jax.random.split(key_run)
-                gen_params, opt_state, prev_enc, loss = step(
-                    gen_params, opt_state, prev_enc, clip_w,
-                    aest2 if use2 else aest, None, prompts, k_step,
-                    jnp.int32(ii))
+                params_tmp, opt_state_carry['s'], prev_enc, frame, _ = fs(
+                    params_tmp, opt_state_carry['s'], prev_enc, clip_w,
+                    aest_w, prompts, k_step, jnp.int32(ii), motion)
+            else:
+                # MOTION on parameter state (illustrip.py:379-409)
+                if a.gen == 'RGB':
+                    if a.depth > 0:
+                        from aphantasia_tpu.motion.depthwarp import depth_transform
+                        params_tmp = depth_transform(
+                            params_tmp, deptha, a.depth, scale, shift, a.colors,
+                            a.depth_dir, glob_step)
+                    params_tmp = warp_jit(params_tmp, angle,
+                                          float(shift[0]), float(shift[1]),
+                                          scale, shear)
+                    gen_params = params_tmp
+                else:
+                    img_tmp = fft_to_img(params_tmp)
+                    if a.depth > 0:
+                        from aphantasia_tpu.motion.depthwarp import depth_transform
+                        img_tmp = depth_transform(
+                            img_tmp, deptha, a.depth, scale, shift, a.colors,
+                            a.depth_dir, glob_step)
+                    img_tmp = warp_jit(img_tmp, angle, float(shift[0]),
+                                       float(shift[1]), scale, shear)
+                    gen_params = img_to_fft(img_tmp)
 
-            params_tmp = gen_params
-            if a.smooth:
-                opt_state_carry['s'] = opt_state
+                # fresh optimizer each frame; --smooth carries state
+                opt_state = (opt_state_carry.get('s')
+                             if (a.smooth and glob_step > 0)
+                             else optimizer.init(gen_params))
 
-            frame = render(gen_params, contrast=a.contrast)
+                step = step2 if use2 else step1
+                for ss in range(a.opt_step):
+                    key_run, k_step = jax.random.split(key_run)
+                    gen_params, opt_state, prev_enc, loss = step(
+                        gen_params, opt_state, prev_enc, clip_w,
+                        aest_w, None, prompts, k_step, jnp.int32(ii))
+
+                params_tmp = gen_params
+                if a.smooth:
+                    opt_state_carry['s'] = opt_state
+
+                frame = render(gen_params, contrast=a.contrast)
             writer.save(os.path.join(tempdir, '%06d.jpg' % glob_step), frame)
             if a.verbose and os.environ.get('DISPLAY'):
                 from aphantasia_tpu.io.media import cvshow

@@ -194,6 +194,83 @@ def build_train_loop(parameterizer, sampler, clip_cfg, settings: StepSettings,
     return jax.jit(loop, donate_argnums=(0, 1, 2))
 
 
+def build_frame_step(parameterizer, sampler, clip_cfg, settings: StepSettings,
+                     optimizer: optax.GradientTransformation, gen: str, size,
+                     opt_steps: int, smooth: bool, contrast: float = 1.0,
+                     deptha=None, depth: float = 0.0, colors: float = 1.0,
+                     mesh=None):
+    """ONE jitted program per video frame — the illustrip hot path.
+
+    Fuses the whole frame advance (reference illustrip.py:379-484) that the
+    CLI previously ran as ~7 separate dispatches (FFT decode, depth warp,
+    affine motion, FFT re-encode, optimizer init, N train steps, render):
+    through the tunneled runtime each program carries ~28ms of dispatch
+    overhead, which dominated frames/min at small `opt_steps`.
+
+    motion = (angle_deg, shift_x, shift_y, scale, shear_deg) — traced
+    scalars, so the motion schedule never recompiles.  With `smooth` the
+    optimizer state is carried in/out (illustrip `--smooth`); otherwise a
+    fresh state is built inside the program (fresh optimizer per frame,
+    illustrip.py:409-423).  `deptha`/`depth` enable the in-graph
+    Depth-Anything-V2 3D warp (depth/depth.py:66-84) — the per-frame
+    depth-map JPEG dump needs the unfused path.
+
+    Returns frame_fn(params_tmp, opt_state, prev_enc, clip_params,
+    aest_params, prompts, key, step_i, motion) ->
+    (params_tmp, opt_state, prev_enc, frame_u8, losses [opt_steps]).
+    """
+    from aphantasia_tpu.ops.warp import frame_transform
+    h, w = size
+    loss_fn = build_loss_fn(parameterizer, sampler, clip_cfg, settings, mesh)
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def motion_warp(params_tmp, motion):
+        angle, sh0, sh1, scale, shear = motion
+        if gen == "FFT":
+            spec = jax.lax.complex(params_tmp[..., 0], params_tmp[..., 1])
+            img = jnp.fft.irfft2(spec, s=(h, w), norm="ortho")
+        else:
+            img = params_tmp
+        if deptha is not None and depth != 0.0:
+            from aphantasia_tpu.motion.depthwarp import depthwarp
+            from aphantasia_tpu.params.color import to_valid_rgb
+            # warp-origin mapping, illustrip.py:115-128 (traced scalars)
+            dx = 100.0 * sh0 / w
+            dy = 100.0 * sh1 / h
+            dz = 0.5 + 32.0 * (scale - 1.0)
+            rgb = to_valid_rgb(img, colors=colors)
+            img = depthwarp(img, rgb, deptha, depth, (dx, dy), dz)
+        img = frame_transform(img, (h, w), angle, (sh0, sh1), scale, shear)
+        if gen == "FFT":
+            spec = jnp.fft.rfft2(img, s=(h, w), norm="ortho")
+            return jnp.stack([spec.real, spec.imag], axis=-1)
+        return img
+
+    def frame_fn(params_tmp, opt_state, prev_enc, clip_params, aest_params,
+                 prompts, key, step_i, motion):
+        gp = motion_warp(params_tmp, motion)
+        os_ = opt_state if smooth else optimizer.init(gp)
+
+        def body(carry, s):
+            gp, os_, pe = carry
+            k = jax.random.fold_in(key, s)
+            (loss, out_enc), grads = grad_fn(
+                gp, clip_params, aest_params, None, prompts, pe, k, step_i)
+            updates, os_ = optimizer.update(grads, os_, gp)
+            gp = optax.apply_updates(gp, updates)
+            return (gp, os_, out_enc), loss
+
+        (gp, os_, pe), losses = jax.lax.scan(
+            body, (gp, os_, prev_enc), jnp.arange(opt_steps, dtype=jnp.int32))
+
+        img = parameterizer.image(gp, contrast=contrast)
+        img = jnp.clip(img[0].transpose(1, 2, 0), 0.0, 1.0)
+        frame_u8 = (img * 255.0 + 0.5).astype(jnp.uint8)
+        return gp, os_, pe, frame_u8, losses
+
+    return jax.jit(frame_fn, donate_argnums=(0, 1, 2))
+
+
 def build_render(parameterizer, jit: bool = True):
     """Frame renderer: params -> [H,W,3] uint8 on device (uint8 before the
     device->host pull — the tunneled transfer is bandwidth-bound).  Tone
