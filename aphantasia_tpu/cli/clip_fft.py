@@ -26,7 +26,9 @@ from aphantasia_tpu.ops.sampler import CutoutSampler
 from aphantasia_tpu.ops.optim import build_optimizer
 from aphantasia_tpu.ops.losses import aesthetic_get, aesthetic_dims
 from aphantasia_tpu.models.lpips import lpips_get
-from aphantasia_tpu.parallel.step import StepSettings, build_train_step, build_render
+from aphantasia_tpu.parallel.step import (
+    StepSettings, build_train_step, build_train_loop_frames,
+    frames_per_dispatch, build_render)
 from aphantasia_tpu.cli.common import (
     ClipWrapper, parse_size, apply_sample_budget, build_prompt_groups,
     dualmod_steps, maybe_translate, resolve_dtype, add_parallel_flags,
@@ -282,28 +284,53 @@ def run(a):
         tone = (lambda im: ((im / 255.0) ** (1 + a.sharp / 2.0) * 255)
                 .astype(np.uint8))
     writer = AsyncFrameWriter()
-    for i in range(a.steps):
-        key, k_step = jax.random.split(key)
-        use2 = clip2 is not None and i in dm_nums
-        step = step2 if use2 else step1
-        clip_w = clip2.params if use2 else clip1.params
-        aest_w = aest2 if use2 else aest
-        prompts = prompts2 if use2 else prompts1
-        if spar is not None:
-            gen_params, opt_state, prev_enc, loss = step(
-                gen_params, opt_state, prev_enc, clip_w, aest_w,
-                prompts, k_step, jnp.int32(i // a.opt_step))
-        else:
-            gen_params, opt_state, prev_enc, loss = step(
-                gen_params, opt_state, prev_enc, clip_w, aest_w, lpips_bundle,
-                prompts, k_step, jnp.int32(i // a.opt_step))
+    # chunked fast path: F frame-groups (step -> render -> opt_step-1 steps)
+    # per dispatch, amortizing the ~28ms tunneled per-program overhead.
+    # dualmod (per-step model swaps) and spatial (own step/render) keep the
+    # per-step loop, as does a step count opt_step doesn't divide.
+    chunked = (spar is None and clip2 is None and a.opt_step > 0
+               and a.steps % a.opt_step == 0 and a.steps >= a.opt_step)
+    if chunked:
+        n_frames_total = a.steps // a.opt_step
+        nf = frames_per_dispatch(tuple(a.size), n_frames_total)
+        loop1 = build_train_loop_frames(par, sampler, clip1.cfg, settings,
+                                        optimizer, a.opt_step, nf,
+                                        contrast=a.contrast, mesh=mesh)
+        for c in range(n_frames_total // nf):
+            key, k_c = jax.random.split(key)
+            gen_params, opt_state, prev_enc, frames_u8, losses = loop1(
+                gen_params, opt_state, prev_enc, clip1.params, aest,
+                lpips_bundle, prompts1, k_c, jnp.int32(c * nf))
+            frames_np = np.asarray(frames_u8)   # one device->host pull
+            for j in range(nf):
+                writer.save(os.path.join(tempdir,
+                                         '%04d.jpg' % (c * nf + j)),
+                            frames_np[j], tone)
+                pbar.upd()
+    else:
+        for i in range(a.steps):
+            key, k_step = jax.random.split(key)
+            use2 = clip2 is not None and i in dm_nums
+            step = step2 if use2 else step1
+            clip_w = clip2.params if use2 else clip1.params
+            aest_w = aest2 if use2 else aest
+            prompts = prompts2 if use2 else prompts1
+            if spar is not None:
+                gen_params, opt_state, prev_enc, loss = step(
+                    gen_params, opt_state, prev_enc, clip_w, aest_w,
+                    prompts, k_step, jnp.int32(i // a.opt_step))
+            else:
+                gen_params, opt_state, prev_enc, loss = step(
+                    gen_params, opt_state, prev_enc, clip_w, aest_w,
+                    lpips_bundle, prompts, k_step, jnp.int32(i // a.opt_step))
 
-        if i % a.opt_step == 0:
-            # device array handed straight to the async writer — the
-            # device->host pull and JPEG encode overlap the next step
-            writer.save(os.path.join(tempdir, '%04d.jpg' % (i // a.opt_step)),
-                        render(gen_params, contrast=a.contrast), tone)
-            pbar.upd()
+            if i % a.opt_step == 0:
+                # device array handed straight to the async writer — the
+                # device->host pull and JPEG encode overlap the next step
+                writer.save(os.path.join(tempdir,
+                                         '%04d.jpg' % (i // a.opt_step)),
+                            render(gen_params, contrast=a.contrast), tone)
+                pbar.upd()
 
     writer.close()
     prof.__exit__(None, None, None)

@@ -20,7 +20,9 @@ from aphantasia_tpu.models.vqgan import (
     VQGAN_CONFIGS, vqgan_init, convert_taming, VQGANParameterizer)
 from aphantasia_tpu.ops.sampler import CutoutSampler
 from aphantasia_tpu.ops.optim import build_optimizer
-from aphantasia_tpu.parallel.step import StepSettings, build_train_step
+from aphantasia_tpu.parallel.step import (StepSettings,
+                                          build_train_loop_frames,
+                                          frames_per_dispatch)
 from aphantasia_tpu.cli.common import (
     ClipWrapper, parse_size, apply_sample_budget, build_prompt_groups,
     maybe_translate, resolve_dtype, add_parallel_flags, setup_mesh, apply_platform)
@@ -128,11 +130,6 @@ def run(a):
     optimizer = build_optimizer('adam_custom', a.lrate)
     settings = StepSettings(sim=a.sim or 'cossim', total_steps=a.steps,
                             transform=a.transform, clip_dtype=dtype)
-    step = build_train_step(par, sampler, clip1.cfg, settings, optimizer,
-                            mesh=mesh)
-    render = jax.jit(lambda p: (jnp.clip(
-        par.image(p)[0].transpose(1, 2, 0), 0, 1) * 255 + 0.5).astype(jnp.uint8))
-
     out_name = '-'.join(out_name) or 'vqgan'
     out_name += '-vq'
     tempdir = os.path.join(a.out_dir, out_name)
@@ -147,14 +144,22 @@ def run(a):
     prof = trace(a.profile)
     prof.__enter__()
     writer = AsyncFrameWriter()
-    for i in range(a.steps):
-        key, k_step = jax.random.split(key)
-        gen_params, opt_state, prev_enc, loss = step(
+    # nf step+render groups per dispatch (step.py:build_train_loop_frames)
+    # — amortizes the tunneled per-program overhead; a frame is saved every
+    # step, so opt_step=1 groups
+    nf = frames_per_dispatch(tuple(a.size), a.steps)
+    loop = build_train_loop_frames(par, sampler, clip1.cfg, settings,
+                                   optimizer, 1, nf, mesh=mesh)
+    for c in range(a.steps // nf):
+        key, k_c = jax.random.split(key)
+        gen_params, opt_state, prev_enc, frames_u8, loss = loop(
             gen_params, opt_state, prev_enc, clip1.params, None, None,
-            prompts, k_step, jnp.int32(i))
-        writer.save(os.path.join(tempdir, '%04d.jpg' % i),
-                    render(gen_params))
-        pbar.upd()
+            prompts, k_c, jnp.int32(c * nf))
+        frames_np = np.asarray(frames_u8)
+        for j in range(nf):
+            writer.save(os.path.join(tempdir, '%04d.jpg' % (c * nf + j)),
+                        frames_np[j])
+            pbar.upd()
 
     writer.close()
     prof.__exit__(None, None, None)

@@ -227,20 +227,47 @@ def run(a):
     prof = trace(a.profile)
     prof.__enter__()
     writer = AsyncFrameWriter()
-    for i in range(a.steps):
-        key, k_step = jax.random.split(key)
-        use2 = clip2 is not None and i in dm_nums
-        step = step2 if use2 else step1
-        gen_params, opt_state, prev_enc, loss = step(
-            gen_params, opt_state, prev_enc,
-            clip2.params if use2 else clip1.params,
-            aest2 if use2 else aest, None,
-            prompts2 if use2 else prompts1, k_step, jnp.int32(i))
-        if i % a.fstep == 0:
-            fname = os.path.join(tempdir, '%04d' % (i // a.fstep))
-            writer.save(fname + '.jpg', render(gen_params))
-            export_npy(gen_params, fname)
-        pbar.upd()
+    # chunked fast path (see step.py:build_train_loop_frames): fstep-sized
+    # step groups with the frame + snapshot params emitted in-graph; dualmod
+    # swaps models per step and keeps the per-step loop
+    chunked = (clip2 is None and a.fstep > 0 and a.steps % a.fstep == 0
+               and a.steps >= a.fstep)
+    if chunked:
+        from aphantasia_tpu.parallel.step import (build_train_loop_frames,
+                                                  frames_per_dispatch)
+        n_frames_total = a.steps // a.fstep
+        nf = frames_per_dispatch(tuple(a.size), n_frames_total)
+        loop1 = build_train_loop_frames(par, sampler, clip1.cfg, settings,
+                                        optimizer, a.fstep, nf, mesh=mesh,
+                                        step_index='step', with_params=True)
+        for c in range(n_frames_total // nf):
+            key, k_c = jax.random.split(key)
+            (gen_params, opt_state, prev_enc, frames_u8, bparams,
+             loss) = loop1(gen_params, opt_state, prev_enc, clip1.params,
+                           aest, None, prompts1, k_c, jnp.int32(c * nf))
+            frames_np = np.asarray(frames_u8)
+            for j in range(nf):
+                fname = os.path.join(tempdir, '%04d' % (c * nf + j))
+                writer.save(fname + '.jpg', frames_np[j])
+                export_npy(jax.tree_util.tree_map(lambda x: x[j], bparams),
+                           fname)
+            for _ in range(nf * a.fstep):
+                pbar.upd()
+    else:
+        for i in range(a.steps):
+            key, k_step = jax.random.split(key)
+            use2 = clip2 is not None and i in dm_nums
+            step = step2 if use2 else step1
+            gen_params, opt_state, prev_enc, loss = step(
+                gen_params, opt_state, prev_enc,
+                clip2.params if use2 else clip1.params,
+                aest2 if use2 else aest, None,
+                prompts2 if use2 else prompts1, k_step, jnp.int32(i))
+            if i % a.fstep == 0:
+                fname = os.path.join(tempdir, '%04d' % (i // a.fstep))
+                writer.save(fname + '.jpg', render(gen_params))
+                export_npy(gen_params, fname)
+            pbar.upd()
 
     writer.close()
     prof.__exit__(None, None, None)

@@ -183,6 +183,20 @@ def run(a):
     render = build_render(par)
     dm_nums = dualmod_steps(a.steps, a.dualmod) if a.dualmod else set()
 
+    # chunked fast path (step.py:build_train_loop_frames): save_step-sized
+    # step groups + in-graph render, several per dispatch — dualmod's
+    # per-step model swaps keep the per-step loop
+    chunk_loop = None
+    if (clip2 is None and a.save_step > 0 and a.steps % a.save_step == 0
+            and a.steps >= a.save_step):
+        from aphantasia_tpu.parallel.step import (build_train_loop_frames,
+                                                  frames_per_dispatch)
+        n_frames_total = a.steps // a.save_step
+        nf = frames_per_dispatch(tuple(a.size), n_frames_total)
+        chunk_loop = build_train_loop_frames(
+            par, sampler, clip1.cfg, settings, optimizer, a.save_step, nf,
+            contrast=a.contrast, mesh=mesh, step_index='step')
+
     def groups_for(num, which):
         txts, styls, imgs = ((txt2, styl2, imge2) if which == 2
                              else (txt1, styl1, imge1))
@@ -251,20 +265,34 @@ def run(a):
 
             prev_enc = jnp.zeros((a.samples, clip1.cfg.embed_dim))
             pbar = get_progress_bar()(a.steps // a.save_step)
-            for i in range(a.steps):
-                key, k_step = jax.random.split(key)
-                use2 = clip2 is not None and i in dm_nums
-                step = step2 if use2 else step1
-                clip_w = clip2.params if use2 else clip1.params
-                gen_params, opt_state, prev_enc, loss = step(
-                    gen_params, opt_state, prev_enc, clip_w,
-                    aest2 if use2 else aest, None,
-                    prompts2 if use2 else prompts1, k_step, jnp.int32(i))
-                if i % a.save_step == 0:
-                    writer.save(os.path.join(
-                        tempdir, '%04d.jpg' % (i // a.save_step)),
-                        render(gen_params, contrast=a.contrast))
-                    pbar.upd()
+            if chunk_loop is not None:
+                for c in range(n_frames_total // nf):
+                    key, k_c = jax.random.split(key)
+                    (gen_params, opt_state, prev_enc, frames_u8,
+                     loss) = chunk_loop(
+                        gen_params, opt_state, prev_enc, clip1.params, aest,
+                        None, prompts1, k_c, jnp.int32(c * nf))
+                    frames_np = np.asarray(frames_u8)
+                    for j in range(nf):
+                        writer.save(os.path.join(
+                            tempdir, '%04d.jpg' % (c * nf + j)),
+                            frames_np[j])
+                        pbar.upd()
+            else:
+                for i in range(a.steps):
+                    key, k_step = jax.random.split(key)
+                    use2 = clip2 is not None and i in dm_nums
+                    step = step2 if use2 else step1
+                    clip_w = clip2.params if use2 else clip1.params
+                    gen_params, opt_state, prev_enc, loss = step(
+                        gen_params, opt_state, prev_enc, clip_w,
+                        aest2 if use2 else aest, None,
+                        prompts2 if use2 else prompts1, k_step, jnp.int32(i))
+                    if i % a.save_step == 0:
+                        writer.save(os.path.join(
+                            tempdir, '%04d.jpg' % (i // a.save_step)),
+                            render(gen_params, contrast=a.contrast))
+                        pbar.upd()
 
             frames = img_list(tempdir)
             if frames:

@@ -61,6 +61,16 @@ def _dft_mats_packed(n: int):
     return analysis, synthesis
 
 
+@functools.lru_cache(maxsize=64)
+def _dft_mats_packed_jnp(n: int, dtype_name: str):
+    """Packed matrices as SHARED jnp constants per (length, dtype): all
+    trace sites close over the same objects so each matrix serializes once
+    per program (see params/fft.py:_irfft2_mats_jnp)."""
+    dt = jnp.dtype(dtype_name)
+    with jax.ensure_compile_time_eval():   # concrete even mid-trace
+        return tuple(jnp.asarray(m, dt) for m in _dft_mats_packed(n))
+
+
 def fractional_shift(x: jnp.ndarray, shift: jnp.ndarray, axis: int,
                      compute_dtype=None, n_total: int | None = None,
                      in_offset: int = 0,
@@ -130,7 +140,7 @@ def _frac_shift_impl(x, shift, axis, dtype_name, phase=None, n_total=None,
     n_in = x.shape[-1]
     n = n_total if n_total is not None else n_in
     nf = n // 2 + 1
-    analysis, synthesis = (jnp.asarray(m, dt) for m in _dft_mats_packed(n))
+    analysis, synthesis = _dft_mats_packed_jnp(n, jnp.dtype(dt).name)
     if n_in != n or in_offset:
         analysis = analysis[in_offset:in_offset + n_in]
     if out_window is not None and tuple(out_window) != (0, n):

@@ -194,6 +194,88 @@ def build_train_loop(parameterizer, sampler, clip_cfg, settings: StepSettings,
     return jax.jit(loop, donate_argnums=(0, 1, 2))
 
 
+def build_train_loop_frames(parameterizer, sampler, clip_cfg,
+                            settings: StepSettings,
+                            optimizer: optax.GradientTransformation,
+                            opt_step: int, n_frames: int,
+                            contrast: float = 1.0, mesh=None,
+                            step_index: str = "frame",
+                            with_params: bool = False):
+    """`n_frames` frame-groups per dispatch for the image CLIs.
+
+    Each group reproduces the reference cadence exactly (clip_fft.py:297-306
+    renders after the FIRST step of every `opt_step` group): one train step,
+    render a uint8 frame, then the remaining `opt_step - 1` steps.  Scanning
+    groups amortizes the ~28ms tunneled per-program overhead that made CLI
+    wall-clock much slower than the bench's scanned loop.
+
+    Returns loop(gen_params, opt_state, prev_enc, clip_params, aest_params,
+    lpips_bundle, prompts, key, frame0) -> (gen_params, opt_state, prev_enc,
+    frames [n_frames,H,W,3] uint8, losses [n_frames*opt_step]).
+    `frame0` is the global frame index of the dispatch's first group (frame
+    k covers steps k*opt_step .. (k+1)*opt_step-1).  `step_index` picks what
+    the loss sees as step_i: the frame index (clip_fft's `i // opt_step`) or
+    the global step (illustra/cppn pass `i`).  `with_params=True` appends a
+    stacked pytree of the frame-boundary generator params to the outputs
+    (cppn exports an .npy snapshot per saved frame) — only sensible for
+    small parameterizers."""
+    loss_fn = build_loss_fn(parameterizer, sampler, clip_cfg, settings, mesh)
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def loop(gen_params, opt_state, prev_enc, clip_params, aest_params,
+             lpips_bundle, prompts, key, frame0):
+        def one_step(carry, gstep, fstep):
+            gp, os_, pe = carry
+            k = jax.random.fold_in(key, gstep)
+            si = fstep if step_index == "frame" else gstep
+            (loss, out_enc), grads = grad_fn(
+                gp, clip_params, aest_params, lpips_bundle, prompts, pe, k,
+                si)
+            updates, os_ = optimizer.update(grads, os_, gp)
+            gp = optax.apply_updates(gp, updates)
+            return (gp, os_, out_enc), loss
+
+        def frame_body(carry, j):
+            fstep = frame0 + j
+            base = fstep * opt_step
+            carry, l0 = one_step(carry, base, fstep)
+            img = parameterizer.image(carry[0], contrast=contrast)
+            img = jnp.clip(img[0].transpose(1, 2, 0), 0.0, 1.0)
+            frame = (img * 255.0 + 0.5).astype(jnp.uint8)
+            ys = (frame, carry[0]) if with_params else (frame,)
+            if opt_step > 1:
+                carry, lrest = jax.lax.scan(
+                    lambda c, s: one_step(c, base + 1 + s, fstep),
+                    carry, jnp.arange(opt_step - 1, dtype=jnp.int32))
+                losses = jnp.concatenate([l0[None], lrest])
+            else:
+                losses = l0[None]
+            return carry, ys + (losses,)
+
+        (gp, os_, pe), ys = jax.lax.scan(
+            frame_body, (gen_params, opt_state, prev_enc),
+            jnp.arange(n_frames, dtype=jnp.int32))
+        losses = ys[-1].reshape(-1)
+        if with_params:
+            return gp, os_, pe, ys[0], ys[1], losses
+        return gp, os_, pe, ys[0], losses
+
+    return jax.jit(loop, donate_argnums=(0, 1, 2))
+
+
+def frames_per_dispatch(size, n_frames_total: int, cap_bytes: int = 75_000_000):
+    """Largest divisor of `n_frames_total` whose stacked uint8 frames stay
+    under `cap_bytes` (and <= 16) — frame chunks trade dispatch overhead
+    against render-buffer memory/transfer."""
+    per = size[0] * size[1] * 3
+    cap = max(1, min(16, cap_bytes // max(per, 1)))
+    best = 1
+    for f in range(1, cap + 1):
+        if n_frames_total % f == 0:
+            best = f
+    return best
+
+
 def build_frame_step(parameterizer, sampler, clip_cfg, settings: StepSettings,
                      optimizer: optax.GradientTransformation, gen: str, size,
                      opt_steps: int, smooth: bool, contrast: float = 1.0,

@@ -52,11 +52,23 @@ def _irfft2_mats(h: int, w: int):
     return c_h, s_h, cw, sw
 
 
+@functools.lru_cache(maxsize=8)
+def _irfft2_mats_jnp(h: int, w: int):
+    """The factor matrices as SHARED jnp constants: every trace site closes
+    over the same array objects, so a program that decodes in several places
+    (loss + render + VJP) embeds each matrix once.  Per-call `jnp.asarray`
+    created fresh objects and the serialized module repeated the ~2-3MB
+    matrices per use — large fused programs then exceeded the tunneled
+    compile service's request-size limit (HTTP 413)."""
+    with jax.ensure_compile_time_eval():   # concrete even mid-trace
+        return tuple(jnp.asarray(m) for m in _irfft2_mats(h, w))
+
+
 def irfft2_ortho(re: jnp.ndarray, im: jnp.ndarray, size) -> jnp.ndarray:
     """[..., h, wf] real/imag rfft2 spectrum -> [..., h, w] image, matching
     jnp.fft.irfft2(norm='ortho') to f32 matmul precision."""
     h, w = size
-    c_h, s_h, cw, sw = (jnp.asarray(m) for m in _irfft2_mats(h, w))
+    c_h, s_h, cw, sw = _irfft2_mats_jnp(h, w)
     r2 = jnp.einsum("jk,...kw->...jw", c_h, re) - jnp.einsum(
         "jk,...kw->...jw", s_h, im)
     i2 = jnp.einsum("jk,...kw->...jw", s_h, re) + jnp.einsum(
@@ -82,6 +94,13 @@ def fft_scale(h: int, w: int, decay_power: float = 1.0) -> np.ndarray:
     scale = 1.0 / np.maximum(freqs, 4.0 / max(h, w)) ** decay_power
     scale *= np.sqrt(h * w)
     return scale.astype(np.float32)[None, None, :, :, None]
+
+
+@functools.lru_cache(maxsize=8)
+def _scale_jnp(h: int, w: int, decay_power: float) -> jnp.ndarray:
+    """Decay curve as a shared jnp constant (see _irfft2_mats_jnp)."""
+    with jax.ensure_compile_time_eval():
+        return jnp.asarray(fft_scale(h, w, decay_power))
 
 
 def fft_init(key: jax.Array, shape, sd: float = 0.01) -> jnp.ndarray:
@@ -199,7 +218,8 @@ class FFTParameterizer:
         return fft_scale(h, w, self.decay_power)
 
     def decode(self, params, shift=None, contrast: float = 1.0) -> jnp.ndarray:
-        return fft_decode(params, jnp.asarray(self.scale), self.size, shift, contrast)
+        return fft_decode(params, _scale_jnp(*self.size, self.decay_power),
+                          self.size, shift, contrast)
 
     def image(self, params, shift=None, contrast: float = 1.0) -> jnp.ndarray:
         """Decode straight to valid RGB in [0,1]."""

@@ -16,29 +16,40 @@ import time
 
 
 def measure(depth: float, frames: int = 16):
+    """Returns (cold, warm) frames/min: the first run pays model init +
+    compile; the second reuses the in-process jit cache, i.e. the sustained
+    production rate of a long render."""
     from aphantasia_tpu.cli import illustrip
 
-    out = tempfile.mkdtemp(prefix="bench_trip_")
-    argv = ["-t", "benchmark scene", "--size", "1280-720",
-            "--steps", str(frames), "--fstep", str(frames),
-            "--opt_step", "3", "--samples", "100", "--gen", "FFT",
-            "--transform", "fast", "--out_dir", out, "-nv"]
-    if depth:
-        argv += ["--depth", str(depth)]
-    a = illustrip.get_args(argv)
-    t0 = time.perf_counter()
-    illustrip.run(a)
-    dt = time.perf_counter() - t0
-    shutil.rmtree(out, ignore_errors=True)
-    return frames / dt * 60.0
+    rates = []
+    for _ in range(2):
+        out = tempfile.mkdtemp(prefix="bench_trip_")
+        argv = ["-t", "benchmark scene", "--size", "1280-720",
+                "--steps", str(frames), "--fstep", str(frames),
+                "--opt_step", "3", "--samples", "100", "--gen", "FFT",
+                "--transform", "fast", "--out_dir", out, "-nv"]
+        if depth:
+            argv += ["--depth", str(depth)]
+        a = illustrip.get_args(argv)
+        t0 = time.perf_counter()
+        illustrip.run(a)
+        dt = time.perf_counter() - t0
+        shutil.rmtree(out, ignore_errors=True)
+        rates.append(frames / dt * 60.0)
+    return rates[0], rates[1]
 
 
 def main():
     res = {"config": "1280x720, 100 samples, 3 opt-steps/frame, FFT gen"}
-    res["frames_per_min"] = round(measure(depth=0.0), 1)
-    print(f"illustrip (no depth): {res['frames_per_min']} frames/min")
-    res["frames_per_min_depth"] = round(measure(depth=1.0), 1)
-    print(f"illustrip (3D depth warp): {res['frames_per_min_depth']} frames/min")
+    cold, warm = measure(depth=0.0)
+    res["frames_per_min_cold"], res["frames_per_min"] = round(cold, 1), round(warm, 1)
+    print(f"illustrip (no depth): {res['frames_per_min']} frames/min warm, "
+          f"{res['frames_per_min_cold']} cold")
+    cold_d, warm_d = measure(depth=1.0, frames=8)
+    res["frames_per_min_depth_cold"] = round(cold_d, 1)
+    res["frames_per_min_depth"] = round(warm_d, 1)
+    print(f"illustrip (3D depth warp): {res['frames_per_min_depth']} frames/min "
+          f"warm, {res['frames_per_min_depth_cold']} cold")
     print(json.dumps(res))
 
 
