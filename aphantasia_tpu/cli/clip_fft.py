@@ -301,11 +301,11 @@ def run(a):
             gen_params, opt_state, prev_enc, frames_u8, losses = loop1(
                 gen_params, opt_state, prev_enc, clip1.params, aest,
                 lpips_bundle, prompts1, k_c, jnp.int32(c * nf))
-            frames_np = np.asarray(frames_u8)   # one device->host pull
-            for j in range(nf):
-                writer.save(os.path.join(tempdir,
-                                         '%04d.jpg' % (c * nf + j)),
-                            frames_np[j], tone)
+            # one transfer for the whole chunk, pulled in the writer thread
+            writer.save_batch(
+                [os.path.join(tempdir, '%04d.jpg' % (c * nf + j))
+                 for j in range(nf)], frames_u8, tone)
+            for _ in range(nf):
                 pbar.upd()
     else:
         for i in range(a.steps):

@@ -155,10 +155,10 @@ def run(a):
         gen_params, opt_state, prev_enc, frames_u8, loss = loop(
             gen_params, opt_state, prev_enc, clip1.params, None, None,
             prompts, k_c, jnp.int32(c * nf))
-        frames_np = np.asarray(frames_u8)
-        for j in range(nf):
-            writer.save(os.path.join(tempdir, '%04d.jpg' % (c * nf + j)),
-                        frames_np[j])
+        writer.save_batch(
+            [os.path.join(tempdir, '%04d.jpg' % (c * nf + j))
+             for j in range(nf)], frames_u8)
+        for _ in range(nf):
             pbar.upd()
 
     writer.close()

@@ -245,11 +245,12 @@ def run(a):
             (gen_params, opt_state, prev_enc, frames_u8, bparams,
              loss) = loop1(gen_params, opt_state, prev_enc, clip1.params,
                            aest, None, prompts1, k_c, jnp.int32(c * nf))
-            frames_np = np.asarray(frames_u8)
-            for j in range(nf):
-                fname = os.path.join(tempdir, '%04d' % (c * nf + j))
-                writer.save(fname + '.jpg', frames_np[j])
-                export_npy(jax.tree_util.tree_map(lambda x: x[j], bparams),
+            fnames = [os.path.join(tempdir, '%04d' % (c * nf + j))
+                      for j in range(nf)]
+            writer.save_batch([f + '.jpg' for f in fnames], frames_u8)
+            bparams_np = jax.tree_util.tree_map(np.asarray, bparams)
+            for j, fname in enumerate(fnames):
+                export_npy(jax.tree_util.tree_map(lambda x: x[j], bparams_np),
                            fname)
             for _ in range(nf * a.fstep):
                 pbar.upd()

@@ -179,9 +179,14 @@ class AsyncFrameWriter:
                 # serializes against the main thread's dispatches on the
                 # tunneled runtime and made runs ~4x slower
                 arr = np.asarray(arr)          # device->host off the main thread
-                if tone is not None:
-                    arr = tone(arr)
-                img_save(path, arr)
+                if isinstance(path, list):     # save_batch chunk
+                    for i, p in enumerate(path):
+                        f = arr[i] if tone is None else tone(arr[i])
+                        img_save(p, f)
+                else:
+                    if tone is not None:
+                        arr = tone(arr)
+                    img_save(path, arr)
             except Exception as e:             # surfaced by close()
                 self._err = e
 
@@ -191,6 +196,16 @@ class AsyncFrameWriter:
         if self._err:
             raise self._err
         self._q.put((path, device_array, tone))
+
+    def save_batch(self, paths, stacked, tone=None):
+        """Enqueue a chunk: `stacked` is ONE device array [N,H,W,3] from a
+        chunked dispatch (parallel/step.py:build_train_loop_frames); the
+        worker pulls it in a single transfer and writes len(paths) frames.
+        Per-frame device slicing on the main thread would cost a dispatch
+        each — the whole point of chunking is avoiding those."""
+        if self._err:
+            raise self._err
+        self._q.put((list(paths), stacked, tone))
 
     def close(self):
         self._q.put(None)
