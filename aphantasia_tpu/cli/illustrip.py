@@ -27,7 +27,8 @@ from aphantasia_tpu.ops.optim import build_optimizer
 from aphantasia_tpu.ops.losses import aesthetic_get, aesthetic_dims
 from aphantasia_tpu.ops.warp import frame_transform
 from aphantasia_tpu.parallel.step import (
-    StepSettings, build_train_step, build_frame_step, build_render)
+    StepSettings, build_train_step, build_frame_step, build_depth_helpers,
+    build_render)
 from aphantasia_tpu.cli.common import (
     ClipWrapper, parse_size, build_prompt_groups, dualmod_steps,
     maybe_translate, resolve_dtype, add_parallel_flags, setup_mesh, apply_platform)
@@ -290,6 +291,7 @@ def run(a):
     # ONE jitted program; the unfused per-op path remains only for the
     # depth-map JPEG dump, which needs the depth tensor on the host
     fused = a.depth_dir is None
+    fused_depth = fused and deptha is not None and a.depth != 0
     if fused:
         frame_step1 = build_frame_step(
             par, sampler, clip1.cfg, settings, optimizer, a.gen,
@@ -299,6 +301,11 @@ def run(a):
             par, sampler, clip2.cfg, settings, optimizer, a.gen,
             tuple(a.size), a.opt_step, a.smooth, a.contrast, deptha=deptha,
             depth=a.depth, colors=a.colors, mesh=mesh) if clip2 else None)
+        if fused_depth:
+            # DA-V2 stays its own compiled program: the frame program eats
+            # the fused depth product and emits the next frame's preview
+            preview_fn, depth_infer = build_depth_helpers(
+                a.gen, tuple(a.size), deptha, a.colors)
     else:
         step1 = build_train_step(par, sampler, clip1.cfg, settings, optimizer,
                                  mesh=mesh)
@@ -326,6 +333,7 @@ def run(a):
         img, (h, w), ang, (sh0, sh1), sc, shr))
 
     opt_state_carry = {}
+    preview = None   # depth-preview carried between fused depth frames
     if fused:
         # seed state for the fused program's carry (re-initialized in-graph
         # every frame unless --smooth)
@@ -335,7 +343,7 @@ def run(a):
     key_run = key
 
     def process(num):
-        nonlocal params_tmp, prev_enc, key_run
+        nonlocal params_tmp, prev_enc, key_run, preview
         txt_encs = get_encs(enc1[0], num, steps, a.interpol)
         styl_encs = get_encs(enc1[1], num, steps, a.interpol)
         not_encs = get_encs(enc1[2], num, steps, a.interpol)
@@ -393,9 +401,18 @@ def run(a):
                           jnp.float32(shear))
                 fs = frame_step2 if use2 else frame_step1
                 key_run, k_step = jax.random.split(key_run)
-                params_tmp, opt_state_carry['s'], prev_enc, frame, _ = fs(
-                    params_tmp, opt_state_carry['s'], prev_enc, clip_w,
-                    aest_w, prompts, k_step, jnp.int32(ii), motion)
+                if fused_depth:
+                    if preview is None:       # frame-0 bootstrap
+                        preview = preview_fn(params_tmp)
+                    dmap = depth_infer(preview)
+                    (params_tmp, opt_state_carry['s'], prev_enc, frame, _,
+                     preview) = fs(params_tmp, opt_state_carry['s'],
+                                   prev_enc, clip_w, aest_w, prompts,
+                                   k_step, jnp.int32(ii), motion, dmap)
+                else:
+                    params_tmp, opt_state_carry['s'], prev_enc, frame, _ = fs(
+                        params_tmp, opt_state_carry['s'], prev_enc, clip_w,
+                        aest_w, prompts, k_step, jnp.int32(ii), motion)
             else:
                 # MOTION on parameter state (illustrip.py:379-409)
                 if a.gen == 'RGB':

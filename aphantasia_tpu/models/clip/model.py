@@ -441,9 +441,14 @@ def _resnet_visual_init(key, cfg: CLIPConfig):
     return {"stem": stem, "layers": layers, "attnpool": attnp}
 
 
+@functools.partial(jax.jit, static_argnums=(1,))
 def clip_init(key: jax.Array, cfg: CLIPConfig):
     """Random-weight CLIP with the exact architecture shapes (hermetic
-    fallback when no OpenAI checkpoint is available; same FLOPs for bench)."""
+    fallback when no OpenAI checkpoint is available; same FLOPs for bench).
+
+    Jitted: eagerly, the ~150M-element tree is hundreds of separate RNG
+    dispatches (~30s of CLI startup through the tunneled runtime); as one
+    program it is a single dispatch and the compile is cached persistently."""
     kv, kt, ke, kp = jax.random.split(key, 4)
     tw = cfg.transformer_width
     tkeys = jax.random.split(kt, cfg.transformer_layers)

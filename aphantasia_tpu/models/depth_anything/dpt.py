@@ -9,6 +9,7 @@ normalize).
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import numpy as np
 import jax
@@ -123,7 +124,10 @@ def _conv_init(key, kh, kw, cin, cout):
     return jax.random.normal(key, (kh, kw, cin, cout)) * np.sqrt(2.0 / fan)
 
 
+@functools.partial(jax.jit, static_argnums=(1,))
 def dav2_init(key, cfg: DAV2Config):
+    # jitted: one dispatch + persistently-cached compile instead of ~30s of
+    # per-weight RNG dispatches at CLI startup (see clip_init)
     kb, kh = jax.random.split(key)
     backbone = dinov2_init(kb, cfg.depth, cfg.dim, cfg.n_heads)
     keys = iter(jax.random.split(kh, 64))
@@ -189,18 +193,25 @@ class InferDepthAny:
                 params = dav2_init(key, self.cfg)
         self.params = params
         self.dtype = dtype
-        self._jitted = jax.jit(lambda p, x: dav2_apply(p, self.cfg, x,
-                                                       dtype=self.dtype))
+        self._jitted = jax.jit(lambda p, x: InferDepthAny.apply(
+            p, self.cfg, x, dtype=self.dtype))
 
-    def __call__(self, image):
-        """image: [N,3,H,W] in [0,1], H/W multiples of 14 -> [1,1,H,W] in [0,1]."""
+    @staticmethod
+    def apply(params, cfg, image, dtype=jnp.float32):
+        """Pure inference: imagenet-normalize -> model -> per-sample
+        min-max (reference depth.py:27-31; per-sample keeps the numerics
+        exact when callers batch the mirror pair into one forward).
+        `params` is an explicit argument so callers can jit this without
+        the ~100M-parameter tree being inlined into the program (the
+        tunneled compile service rejects oversized modules)."""
         mean = jnp.asarray(_IMAGENET_MEAN)[None, :, None, None]
         std = jnp.asarray(_IMAGENET_STD)[None, :, None, None]
         x = (image - mean) / std
-        depth = self._jitted(self.params, x)
-        # per-SAMPLE min-max (reference depth.py:27-31 normalizes per call
-        # with batch 1; per-sample keeps that exact when callers batch the
-        # mirror pair into one forward)
+        depth = dav2_apply(params, cfg, x, dtype=dtype)
         dmin = depth.min(axis=(-3, -2, -1), keepdims=True)
         dmax = depth.max(axis=(-3, -2, -1), keepdims=True)
         return (depth - dmin) / (dmax - dmin + 1e-12)
+
+    def __call__(self, image):
+        """image: [N,3,H,W] in [0,1], H/W multiples of 14 -> [1,1,H,W] in [0,1]."""
+        return self._jitted(self.params, image)

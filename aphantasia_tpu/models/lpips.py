@@ -13,6 +13,8 @@ then reflects an uncalibrated perceptual metric).
 from __future__ import annotations
 
 import numpy as np
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -25,7 +27,10 @@ _SHIFT = np.asarray([-0.030, -0.088, -0.188], np.float32)
 _SCALE = np.asarray([0.458, 0.448, 0.450], np.float32)
 
 
+@jax.jit
 def lpips_init(key: jax.Array):
+    # jitted: one dispatch instead of per-weight RNG dispatches at CLI
+    # startup (see clip/model.py clip_init)
     convs = []
     cin = 3
     keys = iter(jax.random.split(key, len(VGG_CFG) + len(TAP_CHANNELS)))

@@ -13,6 +13,7 @@ keeps the mode runnable hermetically.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import numpy as np
 import jax
@@ -125,7 +126,10 @@ def _norm_init(c):
     return {"g": jnp.ones((c,)), "b": jnp.zeros((c,))}
 
 
+@functools.partial(jax.jit, static_argnums=(1,))
 def vqgan_init(key: jax.Array, cfg: VQGANConfig):
+    # jitted: one dispatch instead of per-weight RNG dispatches at CLI
+    # startup (see clip/model.py clip_init)
     keys = iter(jax.random.split(key, 256))
     block_in = cfg.ch * cfg.ch_mult[-1]
 

@@ -293,35 +293,46 @@ def build_frame_step(parameterizer, sampler, clip_cfg, settings: StepSettings,
     scalars, so the motion schedule never recompiles.  With `smooth` the
     optimizer state is carried in/out (illustrip `--smooth`); otherwise a
     fresh state is built inside the program (fresh optimizer per frame,
-    illustrip.py:409-423).  `deptha`/`depth` enable the in-graph
-    Depth-Anything-V2 3D warp (depth/depth.py:66-84) — the per-frame
-    depth-map JPEG dump needs the unfused path.
+    illustrip.py:409-423).
+
+    Depth mode (`deptha` + nonzero `depth`): the DA-V2 tower is NOT traced
+    into this program — fusing it ballooned the module's remote-compile
+    time.  Instead the frame program takes the mirror-fused depth product
+    (at the 518-ish inference resolution) as an INPUT, applies the grid
+    warp in-graph, and EMITS the next frame's depth-preview image so the
+    host's only extra work per frame is one DA-V2 dispatch
+    (build_depth_helpers).  Signature gains trailing `depth_map` input and
+    a `preview` output.
 
     Returns frame_fn(params_tmp, opt_state, prev_enc, clip_params,
-    aest_params, prompts, key, step_i, motion) ->
-    (params_tmp, opt_state, prev_enc, frame_u8, losses [opt_steps]).
+    aest_params, prompts, key, step_i, motion[, depth_map]) ->
+    (params_tmp, opt_state, prev_enc, frame_u8, losses [opt_steps]
+    [, preview]).
     """
     from aphantasia_tpu.ops.warp import frame_transform
     h, w = size
+    with_depth = deptha is not None and depth != 0.0
     loss_fn = build_loss_fn(parameterizer, sampler, clip_cfg, settings, mesh)
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-    def motion_warp(params_tmp, motion):
-        angle, sh0, sh1, scale, shear = motion
+    def decode_raw(params_tmp):
         if gen == "FFT":
             spec = jax.lax.complex(params_tmp[..., 0], params_tmp[..., 1])
-            img = jnp.fft.irfft2(spec, s=(h, w), norm="ortho")
-        else:
-            img = params_tmp
-        if deptha is not None and depth != 0.0:
-            from aphantasia_tpu.motion.depthwarp import depthwarp
-            from aphantasia_tpu.params.color import to_valid_rgb
+            return jnp.fft.irfft2(spec, s=(h, w), norm="ortho")
+        return params_tmp
+
+    def motion_warp(params_tmp, motion, depth_map):
+        angle, sh0, sh1, scale, shear = motion
+        img = decode_raw(params_tmp)
+        if with_depth:
+            from aphantasia_tpu.motion.depthwarp import grid_warp
+            from aphantasia_tpu.ops.resize import resize_bicubic
             # warp-origin mapping, illustrip.py:115-128 (traced scalars)
             dx = 100.0 * sh0 / w
             dy = 100.0 * sh1 / h
             dz = 0.5 + 32.0 * (scale - 1.0)
-            rgb = to_valid_rgb(img, colors=colors)
-            img = depthwarp(img, rgb, deptha, depth, (dx, dy), dz)
+            d = resize_bicubic(depth_map, (h, w))
+            img = grid_warp(img, d[0], depth, (dx, dy), dz)
         img = frame_transform(img, (h, w), angle, (sh0, sh1), scale, shear)
         if gen == "FFT":
             spec = jnp.fft.rfft2(img, s=(h, w), norm="ortho")
@@ -329,8 +340,8 @@ def build_frame_step(parameterizer, sampler, clip_cfg, settings: StepSettings,
         return img
 
     def frame_fn(params_tmp, opt_state, prev_enc, clip_params, aest_params,
-                 prompts, key, step_i, motion):
-        gp = motion_warp(params_tmp, motion)
+                 prompts, key, step_i, motion, depth_map=None):
+        gp = motion_warp(params_tmp, motion, depth_map)
         os_ = opt_state if smooth else optimizer.init(gp)
 
         def body(carry, s):
@@ -348,9 +359,63 @@ def build_frame_step(parameterizer, sampler, clip_cfg, settings: StepSettings,
         img = parameterizer.image(gp, contrast=contrast)
         img = jnp.clip(img[0].transpose(1, 2, 0), 0.0, 1.0)
         frame_u8 = (img * 255.0 + 0.5).astype(jnp.uint8)
+        if with_depth:
+            preview = _depth_preview(decode_raw(gp), (h, w), colors)
+            return gp, os_, pe, frame_u8, losses, preview
         return gp, os_, pe, frame_u8, losses
 
     return jax.jit(frame_fn, donate_argnums=(0, 1, 2))
+
+
+def _depth_dims(size):
+    """518-on-short-side, multiple-of-14 inference dims (depth/depth.py:70-72)."""
+    h, w = size
+    res = 518
+    dim = [res, int(res * w / h)] if h < w else [int(res * h / w), res]
+    return tuple(x - x % 14 for x in dim)
+
+
+def _depth_preview(img_raw, size, colors):
+    """Blur-lerped, DA-V2-sized preview of the frame (depth/depth.py:74-75),
+    computed from the RAW (pre-color-head) frame state."""
+    from aphantasia_tpu.motion.depthwarp import triangle_blur
+    from aphantasia_tpu.ops.resize import resize_bicubic
+    from aphantasia_tpu.params.color import to_valid_rgb
+    rgb = to_valid_rgb(img_raw, colors=colors)
+    return resize_bicubic(rgb + 0.5 * (triangle_blur(rgb, 5, 2.0) - rgb),
+                          _depth_dims(size))
+
+
+def build_depth_helpers(gen: str, size, deptha, colors: float):
+    """Host-side companions to build_frame_step's depth mode:
+
+    preview(params) — the frame-0 bootstrap (later frames reuse the
+    preview the frame program emits); infer(preview) — ONE batched DA-V2
+    forward of the preview and its mirror, fused `d * flip(d_mirror)`
+    (depth/depth.py:75), returning the [1,1,hd,wd] product the frame
+    program consumes.  The DA-V2 params ride as jit ARGUMENTS (bound via a
+    host-side wrapper), never as inlined program constants — the ~100M
+    parameter tree would blow the tunneled compile service's request
+    limit."""
+    h, w = size
+
+    def preview_fn(params_tmp):
+        if gen == "FFT":
+            spec = jax.lax.complex(params_tmp[..., 0], params_tmp[..., 1])
+            img = jnp.fft.irfft2(spec, s=(h, w), norm="ortho")
+        else:
+            img = params_tmp
+        return _depth_preview(img, (h, w), colors)
+
+    def infer_fn(dparams, preview):
+        pair = type(deptha).apply(
+            dparams, deptha.cfg,
+            jnp.concatenate([preview, jnp.flip(preview, -1)], axis=0),
+            dtype=deptha.dtype)
+        return pair[0:1] * jnp.flip(pair[1:2], -1)
+
+    infer_jit = jax.jit(infer_fn)
+    return jax.jit(preview_fn), lambda prev: infer_jit(deptha.params, prev)
 
 
 def build_render(parameterizer, jit: bool = True):
