@@ -333,21 +333,26 @@ def run(a):
         if a.verbose:
             print(' rendering complete piece')
         ptfiles = file_list(workdir, 'pt')
-        shift_render = jax.jit(lambda p, s: (jnp.clip(
-            par.image(p, shift=s, contrast=a.contrast)[0].transpose(1, 2, 0),
-            0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8))
+        from aphantasia_tpu.parallel.step import (build_shift_render_loop,
+                                                  frames_per_dispatch)
+        rloop = build_shift_render_loop(par, a.contrast)
+        nf = frames_per_dispatch(tuple(a.size), vsteps)
         pbar = get_progress_bar()(vsteps * len(ptfiles))
         with AsyncFrameWriter() as fw:
             for px in range(len(ptfiles)):
                 p1 = jnp.asarray(np.asarray(load_pt(ptfiles[px]), np.float32))
                 p2 = jnp.asarray(np.asarray(
                     load_pt(ptfiles[(px + 1) % len(ptfiles)]), np.float32))
-                for i in range(vsteps):
-                    x = i / vsteps
-                    fw.save(os.path.join(tempdir,
-                                         '%05d.jpg' % (px * vsteps + i)),
-                            shift_render(p1, (p2 - p1) * x))
-                    pbar.upd()
+                diff = p2 - p1
+                for c in range(0, vsteps, nf):
+                    xs = jnp.arange(c, c + nf, dtype=jnp.float32) / vsteps
+                    frames = rloop(p1, diff, xs)
+                    fw.save_batch(
+                        [os.path.join(tempdir,
+                                      '%05d.jpg' % (px * vsteps + c + j))
+                         for j in range(nf)], frames)
+                    for _ in range(nf):
+                        pbar.upd()
         name = basename(a.in_txt) if a.in_txt else 'final'
         frames_to_video(tempdir, os.path.join(a.out_dir, name + '.mp4'),
                         pattern='%05d.jpg', fps=a.fps)

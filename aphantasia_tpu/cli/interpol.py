@@ -63,9 +63,10 @@ def main(argv=None):
     par = FFTParameterizer((h, w), a.decay, a.colors)
 
     vsteps = a.steps if a.length is None else int(a.length * a.fps / len(ptfiles))
-    render = jax.jit(lambda p, shift: (jnp.clip(
-        par.image(p, shift=shift, contrast=a.contrast)[0].transpose(1, 2, 0),
-        0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8))
+    from aphantasia_tpu.parallel.step import (build_shift_render_loop,
+                                              frames_per_dispatch)
+    rloop = build_shift_render_loop(par, a.contrast)
+    nf = frames_per_dispatch((h, w), vsteps)
 
     # fleet fan-out: transitions are independent -> one pair per host
     pairs = shard_scenes(len(ptfiles), rank, world)
@@ -75,12 +76,16 @@ def main(argv=None):
     with AsyncFrameWriter() as fw:
         for px in pairs:
             params1 = read_pt(ptfiles[px])
-            params2 = read_pt(ptfiles[(px + 1) % len(ptfiles)])
-            for i in range(vsteps):
-                x = i / vsteps
-                fw.save(os.path.join(tempdir, '%05d.jpg' % (px * vsteps + i)),
-                        render(params1, (params2 - params1) * x))
-                pbar.upd()
+            diff = read_pt(ptfiles[(px + 1) % len(ptfiles)]) - params1
+            for c in range(0, vsteps, nf):
+                xs = jnp.arange(c, c + nf, dtype=jnp.float32) / vsteps
+                frames = rloop(params1, diff, xs)
+                fw.save_batch(
+                    [os.path.join(tempdir,
+                                  '%05d.jpg' % (px * vsteps + c + j))
+                     for j in range(nf)], frames)
+                for _ in range(nf):
+                    pbar.upd()
 
     if world > 1:
         if rank != 0:

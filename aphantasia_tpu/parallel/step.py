@@ -418,6 +418,22 @@ def build_depth_helpers(gen: str, size, deptha, colors: float):
     return jax.jit(preview_fn), lambda prev: infer_jit(deptha.params, prev)
 
 
+def build_shift_render_loop(parameterizer, contrast: float = 1.0):
+    """Chunked spectrum-crossfade renderer for interpol / illustra's final
+    assembly: render len(xs) frames `decode(params + xs[i]*diff)` in ONE
+    dispatch (lax.scan), returning stacked uint8 [N,H,W,3] — the per-frame
+    render dispatches dominated assembly wall-clock on the tunneled
+    runtime."""
+    def loop(params, diff, xs):
+        def body(_, x):
+            img = parameterizer.image(params, shift=diff * x,
+                                      contrast=contrast)
+            img = jnp.clip(img[0].transpose(1, 2, 0), 0.0, 1.0)
+            return None, (img * 255.0 + 0.5).astype(jnp.uint8)
+        return jax.lax.scan(body, None, xs)[1]
+    return jax.jit(loop)
+
+
 def build_render(parameterizer, jit: bool = True):
     """Frame renderer: params -> [H,W,3] uint8 on device (uint8 before the
     device->host pull — the tunneled transfer is bandwidth-bound).  Tone
