@@ -291,7 +291,7 @@ def run(a):
     # ONE jitted program; the unfused per-op path remains only for the
     # depth-map JPEG dump, which needs the depth tensor on the host
     fused = a.depth_dir is None
-    fused_depth = fused and deptha is not None and a.depth != 0
+    fused_depth = fused and deptha is not None and a.depth > 0
     if fused:
         frame_step1 = build_frame_step(
             par, sampler, clip1.cfg, settings, optimizer, a.gen,
@@ -319,15 +319,9 @@ def run(a):
     h, w = a.size
     scale_arr = jnp.asarray(fft_scale(h, w, 1.0)) if a.gen == 'FFT' else None
 
-    @jax.jit
-    def fft_to_img(params):
-        spec = jax.lax.complex(params[..., 0], params[..., 1])
-        return jnp.fft.irfft2(spec, s=(h, w), norm="ortho")
-
-    @jax.jit
-    def img_to_fft(img):
-        spec = jnp.fft.rfft2(img, s=(h, w), norm="ortho")
-        return jnp.stack([spec.real, spec.imag], axis=-1)
+    from aphantasia_tpu.params.fft import spectrum_to_image, image_to_spectrum
+    fft_to_img = jax.jit(lambda params: spectrum_to_image(params, (h, w)))
+    img_to_fft = jax.jit(lambda img: image_to_spectrum(img, (h, w)))
 
     warp_jit = jax.jit(lambda img, ang, sh0, sh1, sc, shr: frame_transform(
         img, (h, w), ang, (sh0, sh1), sc, shr))

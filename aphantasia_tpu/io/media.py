@@ -161,7 +161,12 @@ class AsyncFrameWriter:
     def __init__(self, maxsize: int = 16):
         import queue
         import threading
-        self._q = queue.Queue(maxsize=maxsize)
+        # back-pressure is counted in FRAMES, not queue items: a save_batch
+        # chunk can hold up to ~16 frames of device memory, so an item-count
+        # bound alone would let ~16 chunks (~1GB+ of HBM at 720p) pile up
+        self._q = queue.Queue()
+        self._maxsize = maxsize
+        self._budget = threading.Semaphore(maxsize)
         self._err = None
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
@@ -173,6 +178,8 @@ class AsyncFrameWriter:
             if item is None:
                 return
             path, arr, tone = item
+            n_frames = (min(len(path), self._maxsize)
+                        if isinstance(path, list) else 1)
             try:
                 # NOTE: keep this a plain transfer — issuing device COMPUTE
                 # (e.g. stacking frames to batch the pull) from this thread
@@ -189,12 +196,16 @@ class AsyncFrameWriter:
                     img_save(path, arr)
             except Exception as e:             # surfaced by close()
                 self._err = e
+            finally:
+                for _ in range(n_frames):
+                    self._budget.release()
 
     def save(self, path, device_array, tone=None):
         """Enqueue a frame; `tone(np_uint8_array) -> np_uint8_array` runs in
         the worker (the CLIs' empirical tone maps, clip_fft.py:300-304)."""
         if self._err:
             raise self._err
+        self._budget.acquire()
         self._q.put((path, device_array, tone))
 
     def save_batch(self, paths, stacked, tone=None):
@@ -205,7 +216,12 @@ class AsyncFrameWriter:
         each — the whole point of chunking is avoiding those."""
         if self._err:
             raise self._err
-        self._q.put((list(paths), stacked, tone))
+        paths = list(paths)
+        # frame-count back-pressure (see __init__); capped at the budget so
+        # an oversized chunk can never deadlock against itself
+        for _ in range(min(len(paths), self._maxsize)):
+            self._budget.acquire()
+        self._q.put((paths, stacked, tone))
 
     def close(self):
         self._q.put(None)

@@ -13,8 +13,6 @@ then reflects an uncalibrated perceptual metric).
 from __future__ import annotations
 
 import numpy as np
-import functools
-
 import jax
 import jax.numpy as jnp
 

@@ -61,23 +61,39 @@ def grid_warp(img: jnp.ndarray, depth: jnp.ndarray, strength, centre,
     return img
 
 
+def depth_dims(size):
+    """518-on-short-side, multiple-of-14 DA-V2 inference dims
+    (depth/depth.py:70-72)."""
+    h, w = size
+    res = 518
+    dim = [res, int(res * w / h)] if h < w else [int(res * h / w), res]
+    return tuple(x - x % 14 for x in dim)
+
+
+def depth_preview(rgb, size):
+    """Blur-lerped, inference-sized preview of a [0,1] RGB frame
+    (depth/depth.py:74)."""
+    return resize_bicubic(rgb + 0.5 * (triangle_blur(rgb, 5, 2.0) - rgb),
+                          depth_dims(size))
+
+
+def mirror_fused_depth(infer_any, preview):
+    """The mirror-fused estimate `d * flip(d(flip(img)))` (depth.py:75) as
+    ONE batched forward: the preview and its flip ride the same DA-V2
+    dispatch (per-sample minmax in InferDepthAny keeps the numerics
+    identical to two separate calls).  Returns [1,1,hd,wd]."""
+    pair = infer_any(jnp.concatenate([preview, jnp.flip(preview, -1)],
+                                     axis=0))
+    return pair[0:1] * jnp.flip(pair[1:2], -1)
+
+
 def depthwarp(img_t, img, infer_any, strength=0.0, centre=(0.0, 0.0),
               midpoint=0.5, save_path=None, save_num=0, dlens=0.05):
     """Full per-frame depth warp (depth/depth.py:66-84).
 
     img_t: the parameter-space frame to warp; img: its [0,1] RGB preview."""
-    _, _, h, w = img.shape
-    res = 518
-    dim = [res, int(res * w / h)] if h < w else [int(res * h / w), res]
-    dim = [x - x % 14 for x in dim]
-
-    image = resize_bicubic(
-        img + 0.5 * (triangle_blur(img, 5, 2.0) - img), dim)
-    # the mirror-fused estimate (depth.py:75) as ONE batched forward: the
-    # image and its flip ride the same DA-V2 dispatch (per-sample minmax in
-    # InferDepthAny keeps the numerics identical to two separate calls)
-    pair = infer_any(jnp.concatenate([image, jnp.flip(image, -1)], axis=0))
-    depth = pair[0:1] * jnp.flip(pair[1:2], -1)
+    h, w = img.shape[-2:]
+    depth = mirror_fused_depth(infer_any, depth_preview(img, (h, w)))
     depth = resize_bicubic(depth, (h, w))
 
     if save_path is not None:

@@ -311,15 +311,17 @@ def build_frame_step(parameterizer, sampler, clip_cfg, settings: StepSettings,
     """
     from aphantasia_tpu.ops.warp import frame_transform
     h, w = size
-    with_depth = deptha is not None and depth != 0.0
+    # gate matches the unfused path and the reference (illustrip.py:379
+    # `if a.depth > 0`): zero/negative strength disables the warp
+    with_depth = deptha is not None and depth > 0.0
     loss_fn = build_loss_fn(parameterizer, sampler, clip_cfg, settings, mesh)
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
+    from aphantasia_tpu.params.fft import spectrum_to_image, image_to_spectrum
+
     def decode_raw(params_tmp):
-        if gen == "FFT":
-            spec = jax.lax.complex(params_tmp[..., 0], params_tmp[..., 1])
-            return jnp.fft.irfft2(spec, s=(h, w), norm="ortho")
-        return params_tmp
+        return (spectrum_to_image(params_tmp, (h, w)) if gen == "FFT"
+                else params_tmp)
 
     def motion_warp(params_tmp, motion, depth_map):
         angle, sh0, sh1, scale, shear = motion
@@ -334,10 +336,7 @@ def build_frame_step(parameterizer, sampler, clip_cfg, settings: StepSettings,
             d = resize_bicubic(depth_map, (h, w))
             img = grid_warp(img, d[0], depth, (dx, dy), dz)
         img = frame_transform(img, (h, w), angle, (sh0, sh1), scale, shear)
-        if gen == "FFT":
-            spec = jnp.fft.rfft2(img, s=(h, w), norm="ortho")
-            return jnp.stack([spec.real, spec.imag], axis=-1)
-        return img
+        return image_to_spectrum(img, (h, w)) if gen == "FFT" else img
 
     def frame_fn(params_tmp, opt_state, prev_enc, clip_params, aest_params,
                  prompts, key, step_i, motion, depth_map=None):
@@ -367,23 +366,12 @@ def build_frame_step(parameterizer, sampler, clip_cfg, settings: StepSettings,
     return jax.jit(frame_fn, donate_argnums=(0, 1, 2))
 
 
-def _depth_dims(size):
-    """518-on-short-side, multiple-of-14 inference dims (depth/depth.py:70-72)."""
-    h, w = size
-    res = 518
-    dim = [res, int(res * w / h)] if h < w else [int(res * h / w), res]
-    return tuple(x - x % 14 for x in dim)
-
-
 def _depth_preview(img_raw, size, colors):
-    """Blur-lerped, DA-V2-sized preview of the frame (depth/depth.py:74-75),
+    """DA-V2-sized preview of the frame (motion/depthwarp.py:depth_preview),
     computed from the RAW (pre-color-head) frame state."""
-    from aphantasia_tpu.motion.depthwarp import triangle_blur
-    from aphantasia_tpu.ops.resize import resize_bicubic
+    from aphantasia_tpu.motion.depthwarp import depth_preview
     from aphantasia_tpu.params.color import to_valid_rgb
-    rgb = to_valid_rgb(img_raw, colors=colors)
-    return resize_bicubic(rgb + 0.5 * (triangle_blur(rgb, 5, 2.0) - rgb),
-                          _depth_dims(size))
+    return depth_preview(to_valid_rgb(img_raw, colors=colors), size)
 
 
 def build_depth_helpers(gen: str, size, deptha, colors: float):
@@ -399,20 +387,18 @@ def build_depth_helpers(gen: str, size, deptha, colors: float):
     limit."""
     h, w = size
 
+    from aphantasia_tpu.params.fft import spectrum_to_image
+    from aphantasia_tpu.motion.depthwarp import mirror_fused_depth
+
     def preview_fn(params_tmp):
-        if gen == "FFT":
-            spec = jax.lax.complex(params_tmp[..., 0], params_tmp[..., 1])
-            img = jnp.fft.irfft2(spec, s=(h, w), norm="ortho")
-        else:
-            img = params_tmp
+        img = (spectrum_to_image(params_tmp, (h, w)) if gen == "FFT"
+               else params_tmp)
         return _depth_preview(img, (h, w), colors)
 
     def infer_fn(dparams, preview):
-        pair = type(deptha).apply(
-            dparams, deptha.cfg,
-            jnp.concatenate([preview, jnp.flip(preview, -1)], axis=0),
-            dtype=deptha.dtype)
-        return pair[0:1] * jnp.flip(pair[1:2], -1)
+        return mirror_fused_depth(
+            lambda x: type(deptha).apply(dparams, deptha.cfg, x,
+                                         dtype=deptha.dtype), preview)
 
     infer_jit = jax.jit(infer_fn)
     return jax.jit(preview_fn), lambda prev: infer_jit(deptha.params, prev)

@@ -77,6 +77,20 @@ def irfft2_ortho(re: jnp.ndarray, im: jnp.ndarray, size) -> jnp.ndarray:
         "...jk,kw->...jw", i2, sw)
 
 
+def spectrum_to_image(params: jnp.ndarray, size) -> jnp.ndarray:
+    """Raw [...,h,wf,2] real/imag spectrum -> [...,h,w] image via ortho
+    irfft2 — the video modes' motion round-trip half (illustrip.py:393-409);
+    NO decay scaling (that belongs to fft_decode)."""
+    spec = jax.lax.complex(params[..., 0], params[..., 1])
+    return jnp.fft.irfft2(spec, s=tuple(size), norm="ortho")
+
+
+def image_to_spectrum(img: jnp.ndarray, size) -> jnp.ndarray:
+    """Inverse of spectrum_to_image: image -> raw real/imag spectrum."""
+    spec = jnp.fft.rfft2(img, s=tuple(size), norm="ortho")
+    return jnp.stack([spec.real, spec.imag], axis=-1)
+
+
 def rfft2d_freqs(h: int, w: int) -> np.ndarray:
     """2D rfft spectrum frequency magnitudes (reference image.py:122-128)."""
     fy = np.fft.fftfreq(h)[:, None]
