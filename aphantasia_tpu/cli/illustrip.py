@@ -20,15 +20,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from aphantasia_tpu.params.fft import FFTParameterizer, resume_fft, fft_scale
+from aphantasia_tpu.params.fft import FFTParameterizer, resume_fft
 from aphantasia_tpu.params.pixel import PixelParameterizer, resume_pixel
 from aphantasia_tpu.ops.sampler import CutoutSampler
 from aphantasia_tpu.ops.optim import build_optimizer
 from aphantasia_tpu.ops.losses import aesthetic_get, aesthetic_dims
-from aphantasia_tpu.ops.warp import frame_transform
 from aphantasia_tpu.parallel.step import (
-    StepSettings, build_train_step, build_frame_step, build_depth_helpers,
-    build_render)
+    StepSettings, build_frame_step, build_depth_helpers)
 from aphantasia_tpu.cli.common import (
     ClipWrapper, parse_size, build_prompt_groups, dualmod_steps,
     maybe_translate, resolve_dtype, add_parallel_flags, setup_mesh, apply_platform)
@@ -39,6 +37,20 @@ from aphantasia_tpu.motion.anima import motion_schedule
 from aphantasia_tpu.progress import get_progress_bar
 
 CLIP_MODELS = ['ViT-B/16', 'ViT-B/32', 'RN50', 'RN50x4', 'RN50x16', 'RN101']
+
+
+def _save_depth_map(writer, dmap, depth_dir, num, size):
+    """Depth-map JPEG dump (reference depth/depth.py:78-80): the fused
+    product is at DA-V2 inference dims; resize host-side to the frame."""
+    arr = np.asarray(dmap[0, 0], np.float32)
+    try:
+        from PIL import Image
+        im = Image.fromarray((np.clip(arr, 0, 1) * 255).astype(np.uint8))
+        arr8 = np.asarray(im.resize((size[1], size[0]), Image.BICUBIC))
+    except Exception:
+        arr8 = (np.clip(arr, 0, 1) * 255).astype(np.uint8)
+    writer.save(os.path.join(depth_dir, '%05d.jpg' % num),
+                np.stack([arr8] * 3, -1))
 
 
 def get_args(argv=None):
@@ -287,51 +299,29 @@ def run(a):
         noise=a.noise if a.gen == 'FFT' else 0.0, noise_centered=True,
         total_steps=steps, rgb_anchors=(a.gen == 'RGB'),
         transform=a.transform, clip_dtype=dtype)
-    # the whole frame advance (motion warp -> N opt steps -> render) runs as
-    # ONE jitted program; the unfused per-op path remains only for the
-    # depth-map JPEG dump, which needs the depth tensor on the host
-    fused = a.depth_dir is None
-    fused_depth = fused and deptha is not None and a.depth > 0
-    if fused:
-        frame_step1 = build_frame_step(
-            par, sampler, clip1.cfg, settings, optimizer, a.gen,
-            tuple(a.size), a.opt_step, a.smooth, a.contrast, deptha=deptha,
-            depth=a.depth, colors=a.colors, mesh=mesh)
-        frame_step2 = (build_frame_step(
-            par, sampler, clip2.cfg, settings, optimizer, a.gen,
-            tuple(a.size), a.opt_step, a.smooth, a.contrast, deptha=deptha,
-            depth=a.depth, colors=a.colors, mesh=mesh) if clip2 else None)
-        if fused_depth:
-            # DA-V2 stays its own compiled program: the frame program eats
-            # the fused depth product and emits the next frame's preview
-            preview_fn, depth_infer = build_depth_helpers(
-                a.gen, tuple(a.size), deptha, a.colors)
-    else:
-        step1 = build_train_step(par, sampler, clip1.cfg, settings, optimizer,
-                                 mesh=mesh)
-        step2 = (build_train_step(par, sampler, clip2.cfg, settings,
-                                  optimizer, mesh=mesh)
-                 if clip2 else None)
-        render = build_render(par)
+    # the whole frame advance (motion warp -> N opt steps -> render) runs
+    # as ONE jitted program (step.py:build_frame_step); with depth the
+    # DA-V2 tower is its own compiled program, one extra dispatch per frame
+    fused_depth = deptha is not None and a.depth > 0
+    frame_step1 = build_frame_step(
+        par, sampler, clip1.cfg, settings, optimizer, a.gen,
+        tuple(a.size), a.opt_step, a.smooth, a.contrast, deptha=deptha,
+        depth=a.depth, colors=a.colors, mesh=mesh)
+    frame_step2 = (build_frame_step(
+        par, sampler, clip2.cfg, settings, optimizer, a.gen,
+        tuple(a.size), a.opt_step, a.smooth, a.contrast, deptha=deptha,
+        depth=a.depth, colors=a.colors, mesh=mesh) if clip2 else None)
+    if fused_depth:
+        preview_fn, depth_infer = build_depth_helpers(
+            a.gen, tuple(a.size), deptha, a.colors)
     dm_nums = dualmod_steps(steps, a.dualmod) if a.dualmod else set()
 
-    # FFT-domain motion round-trip, jitted (illustrip.py:393-409)
     h, w = a.size
-    scale_arr = jnp.asarray(fft_scale(h, w, 1.0)) if a.gen == 'FFT' else None
-
-    from aphantasia_tpu.params.fft import spectrum_to_image, image_to_spectrum
-    fft_to_img = jax.jit(lambda params: spectrum_to_image(params, (h, w)))
-    img_to_fft = jax.jit(lambda img: image_to_spectrum(img, (h, w)))
-
-    warp_jit = jax.jit(lambda img, ang, sh0, sh1, sc, shr: frame_transform(
-        img, (h, w), ang, (sh0, sh1), sc, shr))
-
     opt_state_carry = {}
     preview = None   # depth-preview carried between fused depth frames
-    if fused:
-        # seed state for the fused program's carry (re-initialized in-graph
-        # every frame unless --smooth)
-        opt_state_carry['s'] = optimizer.init(params_tmp)
+    # seed state for the fused program's carry (re-initialized in-graph
+    # every frame unless --smooth)
+    opt_state_carry['s'] = optimizer.init(params_tmp)
     prev_enc = jnp.zeros((a.samples, clip1.cfg.embed_dim))
     glob_start = time.time()
     key_run = key
@@ -386,67 +376,31 @@ def run(a):
                     groups.append((embs, wts, coeff))
             prompts = build_prompt_groups(groups)
 
-            if fused:
-                # motion + opt steps + render as one program (step.py:
-                # build_frame_step) — the motion scalars are traced, so the
-                # schedule never recompiles
-                motion = (jnp.float32(angle), jnp.float32(float(shift[0])),
-                          jnp.float32(float(shift[1])), jnp.float32(scale),
-                          jnp.float32(shear))
-                fs = frame_step2 if use2 else frame_step1
-                key_run, k_step = jax.random.split(key_run)
-                if fused_depth:
-                    if preview is None:       # frame-0 bootstrap
-                        preview = preview_fn(params_tmp)
-                    dmap = depth_infer(preview)
-                    (params_tmp, opt_state_carry['s'], prev_enc, frame, _,
-                     preview) = fs(params_tmp, opt_state_carry['s'],
-                                   prev_enc, clip_w, aest_w, prompts,
-                                   k_step, jnp.int32(ii), motion, dmap)
-                else:
-                    params_tmp, opt_state_carry['s'], prev_enc, frame, _ = fs(
-                        params_tmp, opt_state_carry['s'], prev_enc, clip_w,
-                        aest_w, prompts, k_step, jnp.int32(ii), motion)
+            # motion + opt steps + render as one program (step.py:
+            # build_frame_step) — the motion scalars are traced, so the
+            # schedule never recompiles
+            motion = (jnp.float32(angle), jnp.float32(float(shift[0])),
+                      jnp.float32(float(shift[1])), jnp.float32(scale),
+                      jnp.float32(shear))
+            fs = frame_step2 if use2 else frame_step1
+            key_run, k_step = jax.random.split(key_run)
+            if fused_depth:
+                if preview is None:       # frame-0 bootstrap
+                    preview = preview_fn(params_tmp)
+                dmap = depth_infer(preview)
+                if a.depth_dir is not None:
+                    # depth-map dump (depth/depth.py:78-80), resized to the
+                    # frame like the reference's; pulled via the writer
+                    _save_depth_map(writer, dmap, a.depth_dir, glob_step,
+                                    (h, w))
+                (params_tmp, opt_state_carry['s'], prev_enc, frame, _,
+                 preview) = fs(params_tmp, opt_state_carry['s'],
+                               prev_enc, clip_w, aest_w, prompts,
+                               k_step, jnp.int32(ii), motion, dmap)
             else:
-                # MOTION on parameter state (illustrip.py:379-409)
-                if a.gen == 'RGB':
-                    if a.depth > 0:
-                        from aphantasia_tpu.motion.depthwarp import depth_transform
-                        params_tmp = depth_transform(
-                            params_tmp, deptha, a.depth, scale, shift, a.colors,
-                            a.depth_dir, glob_step)
-                    params_tmp = warp_jit(params_tmp, angle,
-                                          float(shift[0]), float(shift[1]),
-                                          scale, shear)
-                    gen_params = params_tmp
-                else:
-                    img_tmp = fft_to_img(params_tmp)
-                    if a.depth > 0:
-                        from aphantasia_tpu.motion.depthwarp import depth_transform
-                        img_tmp = depth_transform(
-                            img_tmp, deptha, a.depth, scale, shift, a.colors,
-                            a.depth_dir, glob_step)
-                    img_tmp = warp_jit(img_tmp, angle, float(shift[0]),
-                                       float(shift[1]), scale, shear)
-                    gen_params = img_to_fft(img_tmp)
-
-                # fresh optimizer each frame; --smooth carries state
-                opt_state = (opt_state_carry.get('s')
-                             if (a.smooth and glob_step > 0)
-                             else optimizer.init(gen_params))
-
-                step = step2 if use2 else step1
-                for ss in range(a.opt_step):
-                    key_run, k_step = jax.random.split(key_run)
-                    gen_params, opt_state, prev_enc, loss = step(
-                        gen_params, opt_state, prev_enc, clip_w,
-                        aest_w, None, prompts, k_step, jnp.int32(ii))
-
-                params_tmp = gen_params
-                if a.smooth:
-                    opt_state_carry['s'] = opt_state
-
-                frame = render(gen_params, contrast=a.contrast)
+                params_tmp, opt_state_carry['s'], prev_enc, frame, _ = fs(
+                    params_tmp, opt_state_carry['s'], prev_enc, clip_w,
+                    aest_w, prompts, k_step, jnp.int32(ii), motion)
             writer.save(os.path.join(tempdir, '%06d.jpg' % glob_step), frame)
             if a.verbose and os.environ.get('DISPLAY'):
                 from aphantasia_tpu.io.media import cvshow

@@ -67,3 +67,22 @@ def test_illustrip_depth_tiny(tmp_path):
     frames = [f for f in os.listdir(os.path.join(work, "ttt"))
               if f.endswith(".jpg")]
     assert len(frames) == 1
+
+
+def test_illustrip_depth_dir_dump(tmp_path):
+    """--depth_dir dumps one depth-map JPEG per frame alongside the render
+    (reference depth/depth.py:78-80), on the fused path."""
+    from aphantasia_tpu.cli.illustrip import main
+    out = str(tmp_path / "outdd")
+    ddir = str(tmp_path / "dmaps")
+    main(["-t", "deep", "--size", "56-56", "--steps", "2", "--samples", "2",
+          "--out_dir", out, "-nv", "--transform", "none", "--gen", "RGB",
+          "--depth", "1.0", "--depth_model", "s", "--fstep", "2",
+          "--depth_dir", ddir])
+    import os
+    dumps = [f for f in os.listdir(ddir) if f.endswith(".jpg")]
+    assert len(dumps) == 2
+    work = [os.path.join(out, d) for d in os.listdir(out)][0]
+    frames = [f for f in os.listdir(os.path.join(work, "ttt"))
+              if f.endswith(".jpg")]
+    assert len(frames) == 2
