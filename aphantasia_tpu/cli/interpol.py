@@ -15,10 +15,8 @@ import jax.numpy as jnp
 
 from aphantasia_tpu.params.fft import FFTParameterizer
 from aphantasia_tpu.io.checkpoint import load_pt
-from aphantasia_tpu.io.media import file_list, checkout, frames_to_video
-from aphantasia_tpu.parallel.step import build_render
+from aphantasia_tpu.io.media import file_list, frames_to_video
 from aphantasia_tpu.progress import get_progress_bar
-import jax
 
 
 def get_args(argv=None):
