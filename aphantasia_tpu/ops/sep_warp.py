@@ -102,8 +102,16 @@ def fractional_shift(x: jnp.ndarray, shift: jnp.ndarray, axis: int,
         n_total = jnp.moveaxis(x, axis, -1).shape[-1]
     if out_window is None:
         out_window = (0, n_total)
-    return _frac_shift_vjp(x, shift, axis,
-                           jnp.dtype(compute_dtype or jnp.float32).name,
+    dtype_name = jnp.dtype(compute_dtype or jnp.float32).name
+    from aphantasia_tpu.ops import pallas_shift
+    if pallas_shift.enabled():
+        # fused Pallas pass on TPU: spectrum stays in VMEM, phase computed
+        # in-register (the XLA path round-trips [..., 2nf] through HBM)
+        xm = jnp.moveaxis(x, axis, -1)
+        out = pallas_shift.pallas_frac_shift_last(
+            xm, shift, dtype_name, n_total, in_offset, tuple(out_window))
+        return jnp.moveaxis(out, -1, axis)
+    return _frac_shift_vjp(x, shift, axis, dtype_name,
                            n_total, in_offset, out_window)
 
 
