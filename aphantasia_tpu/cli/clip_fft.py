@@ -286,21 +286,26 @@ def run(a):
     writer = AsyncFrameWriter()
     # chunked fast path: F frame-groups (step -> render -> opt_step-1 steps)
     # per dispatch, amortizing the ~28ms tunneled per-program overhead.
-    # dualmod (per-step model swaps) and spatial (own step/render) keep the
-    # per-step loop, as does a step count opt_step doesn't divide.
-    chunked = (spar is None and clip2 is None and a.opt_step > 0
+    # dualmod compiles both towers into the scan body (lax.cond per step);
+    # spatial (own step/render) keeps the per-step loop, as does a step
+    # count opt_step doesn't divide.
+    chunked = (spar is None and a.opt_step > 0
                and a.steps % a.opt_step == 0 and a.steps >= a.opt_step)
     if chunked:
         n_frames_total = a.steps // a.opt_step
         nf = frames_per_dispatch(tuple(a.size), n_frames_total)
+        dual = (clip2.cfg, a.dualmod) if clip2 is not None else None
         loop1 = build_train_loop_frames(par, sampler, clip1.cfg, settings,
                                         optimizer, a.opt_step, nf,
-                                        contrast=a.contrast, mesh=mesh)
+                                        contrast=a.contrast, mesh=mesh,
+                                        dual=dual)
         for c in range(n_frames_total // nf):
             key, k_c = jax.random.split(key)
+            extra = ((clip2.params, aest2, prompts2) if clip2 is not None
+                     else ())
             gen_params, opt_state, prev_enc, frames_u8, losses = loop1(
                 gen_params, opt_state, prev_enc, clip1.params, aest,
-                lpips_bundle, prompts1, k_c, jnp.int32(c * nf))
+                lpips_bundle, prompts1, *extra, k_c, jnp.int32(c * nf))
             # one transfer for the whole chunk, pulled in the writer thread
             writer.save_batch(
                 [os.path.join(tempdir, '%04d.jpg' % (c * nf + j))

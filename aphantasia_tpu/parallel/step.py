@@ -200,7 +200,8 @@ def build_train_loop_frames(parameterizer, sampler, clip_cfg,
                             opt_step: int, n_frames: int,
                             contrast: float = 1.0, mesh=None,
                             step_index: str = "frame",
-                            with_params: bool = False):
+                            with_params: bool = False,
+                            dual=None):
     """`n_frames` frame-groups per dispatch for the image CLIs.
 
     Each group reproduces the reference cadence exactly (clip_fft.py:297-306
@@ -218,19 +219,45 @@ def build_train_loop_frames(parameterizer, sampler, clip_cfg,
     the global step (illustra/cppn pass `i`).  `with_params=True` appends a
     stacked pytree of the frame-boundary generator params to the outputs
     (cppn exports an .npy snapshot per saved frame) — only sensible for
-    small parameterizers."""
+    small parameterizers.
+
+    `dual=(clip_cfg2, dm_every)` compiles BOTH towers into the scan body
+    for dualmod (clip_fft.py:135: every dm_every-th global step runs the
+    second model; a lax.cond picks the branch, so only one executes).  The
+    loop then takes three extra args after `prompts`:
+    (clip_params2, aest_params2, prompts2)."""
     loss_fn = build_loss_fn(parameterizer, sampler, clip_cfg, settings, mesh)
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    if dual is not None:
+        cfg2, dm_every = dual
+        grad_fn2 = jax.value_and_grad(
+            build_loss_fn(parameterizer, sampler, cfg2, settings, mesh),
+            has_aux=True)
 
     def loop(gen_params, opt_state, prev_enc, clip_params, aest_params,
-             lpips_bundle, prompts, key, frame0):
+             lpips_bundle, prompts, *rest):
+        if dual is not None:
+            clip_params2, aest_params2, prompts2, key, frame0 = rest
+        else:
+            key, frame0 = rest
+
         def one_step(carry, gstep, fstep):
             gp, os_, pe = carry
             k = jax.random.fold_in(key, gstep)
             si = fstep if step_index == "frame" else gstep
-            (loss, out_enc), grads = grad_fn(
-                gp, clip_params, aest_params, lpips_bundle, prompts, pe, k,
-                si)
+            if dual is None:
+                (loss, out_enc), grads = grad_fn(
+                    gp, clip_params, aest_params, lpips_bundle, prompts, pe,
+                    k, si)
+            else:
+                use2 = jnp.logical_and(gstep % dm_every == 0, gstep > 0)
+                (loss, out_enc), grads = jax.lax.cond(
+                    use2,
+                    lambda _: grad_fn2(gp, clip_params2, aest_params2,
+                                       lpips_bundle, prompts2, pe, k, si),
+                    lambda _: grad_fn(gp, clip_params, aest_params,
+                                      lpips_bundle, prompts, pe, k, si),
+                    None)
             updates, os_ = optimizer.update(grads, os_, gp)
             gp = optax.apply_updates(gp, updates)
             return (gp, os_, out_enc), loss

@@ -77,3 +77,19 @@ def test_parse_size():
     from aphantasia_tpu.cli.common import parse_size
     assert parse_size("1280-720") == [720, 1280]
     assert parse_size("512") == [512, 512]
+
+
+def test_clip_fft_dualmod_tiny(tmp_path):
+    """dualmod: both towers compiled into the chunked scan body, a lax.cond
+    swaps them every Nth step (clip_fft.py:135 schedule)."""
+    from aphantasia_tpu.cli.clip_fft import main
+    out = str(tmp_path / "outdm")
+    main(["-t", "test prompt", "--size", "48-48", "--steps", "4",
+          "--samples", "3", "--out_dir", out, "-nv",
+          "--transform", "none", "--dualmod", "2"])
+    run_dirs = [d for d in os.listdir(out)
+                if os.path.isdir(os.path.join(out, d))]
+    assert len(run_dirs) == 1 and "dm2" in run_dirs[0]
+    frames = [f for f in os.listdir(os.path.join(out, run_dirs[0]))
+              if f.endswith(".jpg")]
+    assert len(frames) == 4
