@@ -228,23 +228,28 @@ def run(a):
     prof.__enter__()
     writer = AsyncFrameWriter()
     # chunked fast path (see step.py:build_train_loop_frames): fstep-sized
-    # step groups with the frame + snapshot params emitted in-graph; dualmod
-    # swaps models per step and keeps the per-step loop
-    chunked = (clip2 is None and a.fstep > 0 and a.steps % a.fstep == 0
+    # step groups with the frame + snapshot params emitted in-graph;
+    # dualmod rides it too (both towers in the scan body, cond-swapped)
+    chunked = (a.fstep > 0 and a.steps % a.fstep == 0
                and a.steps >= a.fstep)
     if chunked:
         from aphantasia_tpu.parallel.step import (build_train_loop_frames,
                                                   frames_per_dispatch)
         n_frames_total = a.steps // a.fstep
         nf = frames_per_dispatch(tuple(a.size), n_frames_total)
+        dual = (clip2.cfg, a.dualmod) if clip2 is not None else None
         loop1 = build_train_loop_frames(par, sampler, clip1.cfg, settings,
                                         optimizer, a.fstep, nf, mesh=mesh,
-                                        step_index='step', with_params=True)
+                                        step_index='step', with_params=True,
+                                        dual=dual)
         for c in range(n_frames_total // nf):
             key, k_c = jax.random.split(key)
+            extra = ((clip2.params, aest2, prompts2)
+                     if clip2 is not None else ())
             (gen_params, opt_state, prev_enc, frames_u8, bparams,
              loss) = loop1(gen_params, opt_state, prev_enc, clip1.params,
-                           aest, None, prompts1, k_c, jnp.int32(c * nf))
+                           aest, None, prompts1, *extra, k_c,
+                           jnp.int32(c * nf))
             fnames = [os.path.join(tempdir, '%04d' % (c * nf + j))
                       for j in range(nf)]
             writer.save_batch([f + '.jpg' for f in fnames], frames_u8)

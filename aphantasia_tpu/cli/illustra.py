@@ -184,18 +184,19 @@ def run(a):
     dm_nums = dualmod_steps(a.steps, a.dualmod) if a.dualmod else set()
 
     # chunked fast path (step.py:build_train_loop_frames): save_step-sized
-    # step groups + in-graph render, several per dispatch — dualmod's
-    # per-step model swaps keep the per-step loop
+    # step groups + in-graph render, several per dispatch; dualmod rides it
+    # too (both towers in the scan body, cond-swapped)
     chunk_loop = None
-    if (clip2 is None and a.save_step > 0 and a.steps % a.save_step == 0
+    if (a.save_step > 0 and a.steps % a.save_step == 0
             and a.steps >= a.save_step):
         from aphantasia_tpu.parallel.step import (build_train_loop_frames,
                                                   frames_per_dispatch)
         n_frames_total = a.steps // a.save_step
         nf = frames_per_dispatch(tuple(a.size), n_frames_total)
+        dual = (clip2.cfg, a.dualmod) if clip2 is not None else None
         chunk_loop = build_train_loop_frames(
             par, sampler, clip1.cfg, settings, optimizer, a.save_step, nf,
-            contrast=a.contrast, mesh=mesh, step_index='step')
+            contrast=a.contrast, mesh=mesh, step_index='step', dual=dual)
 
     def groups_for(num, which):
         txts, styls, imgs = ((txt2, styl2, imge2) if which == 2
@@ -268,10 +269,12 @@ def run(a):
             if chunk_loop is not None:
                 for c in range(n_frames_total // nf):
                     key, k_c = jax.random.split(key)
+                    extra = ((clip2.params, aest2, prompts2)
+                             if clip2 is not None else ())
                     (gen_params, opt_state, prev_enc, frames_u8,
                      loss) = chunk_loop(
                         gen_params, opt_state, prev_enc, clip1.params, aest,
-                        None, prompts1, k_c, jnp.int32(c * nf))
+                        None, prompts1, *extra, k_c, jnp.int32(c * nf))
                     writer.save_batch(
                         [os.path.join(tempdir, '%04d.jpg' % (c * nf + j))
                          for j in range(nf)], frames_u8)

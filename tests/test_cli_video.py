@@ -35,3 +35,17 @@ def test_interpol(tmp_path):
     main(["-i", ptdir, "-o", out, "-s", "3", "-v", ""])
     frames = os.listdir(os.path.join(out, "a"))
     assert len([f for f in frames if f.endswith(".jpg")]) == 6
+
+
+def test_illustra_dualmod_tiny(tmp_path):
+    """dualmod through illustra's chunked loop (both towers in-graph)."""
+    import os
+    from aphantasia_tpu.cli.illustra import main
+    out = str(tmp_path / "outdm")
+    main(["-t", "test prompt", "--size", "48-48", "--steps", "4",
+          "--save_step", "2", "--samples", "3", "--out_dir", out, "-nv",
+          "--transform", "none", "--separate", "--dualmod", "2"])
+    scene = [os.path.join(out, d) for d in os.listdir(out)
+             if os.path.isdir(os.path.join(out, d))][0]
+    frames = [f for f in os.listdir(scene) if f.endswith(".jpg")]
+    assert len(frames) == 2

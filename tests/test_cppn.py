@@ -93,3 +93,19 @@ def test_cppn_cli_export_roundtrip(tmp_path):
     npy = os.path.join(sub, npys[0])
     main(["-r", npy, "--export", "--size", "24-24", "--out_dir", out])
     assert os.path.isfile(npy.replace(".npy", ".jpg"))
+
+
+@pytest.mark.slow
+def test_cppn_cli_dualmod_tiny(tmp_path):
+    """dualmod through cppn's chunked loop (both towers in-graph)."""
+    import os
+    from aphantasia_tpu.cli.cppn import main
+    out = str(tmp_path / "outdm")
+    main(["-t", "test", "--size", "48-48", "--steps", "4", "--fstep", "2",
+          "--samples", "3", "--nf", "8", "--layers", "2", "--out_dir", out,
+          "--dualmod", "2"])
+    work = os.path.join(out, "cppn")
+    run = [os.path.join(work, d) for d in os.listdir(work)
+           if os.path.isdir(os.path.join(work, d))][0]
+    assert len([f for f in os.listdir(run) if f.endswith(".jpg")]) == 2
+    assert len([f for f in os.listdir(run) if f.endswith(".npy")]) == 2
