@@ -95,6 +95,8 @@ def get_args(argv=None):
                              '(4K+ canvases; FFT mode only)')
     add_parallel_flags(parser)
     a = parser.parse_args(argv)
+    if a.dualmod is not None and a.dualmod < 1:
+        parser.error('--dualmod must be a positive step interval')
 
     if a.size is not None:
         a.size = parse_size(a.size)

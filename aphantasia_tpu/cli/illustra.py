@@ -81,6 +81,8 @@ def get_args(argv=None):
     parser.add_argument('--seed', default=0, type=int)
     add_parallel_flags(parser)
     a = parser.parse_args(argv)
+    if a.dualmod is not None and a.dualmod < 1:
+        parser.error('--dualmod must be a positive step interval')
 
     a.size = parse_size(a.size)
     if not a.separate:

@@ -41,16 +41,20 @@ CLIP_MODELS = ['ViT-B/16', 'ViT-B/32', 'RN50', 'RN50x4', 'RN50x16', 'RN101']
 
 def _save_depth_map(writer, dmap, depth_dir, num, size):
     """Depth-map JPEG dump (reference depth/depth.py:78-80): the fused
-    product is at DA-V2 inference dims; resize host-side to the frame."""
-    arr = np.asarray(dmap[0, 0], np.float32)
-    try:
-        from PIL import Image
-        im = Image.fromarray((np.clip(arr, 0, 1) * 255).astype(np.uint8))
-        arr8 = np.asarray(im.resize((size[1], size[0]), Image.BICUBIC))
-    except Exception:
-        arr8 = (np.clip(arr, 0, 1) * 255).astype(np.uint8)
-    writer.save(os.path.join(depth_dir, '%05d.jpg' % num),
-                np.stack([arr8] * 3, -1))
+    product is at DA-V2 inference dims; the device->host pull AND the
+    resize-to-frame run in the writer thread (a main-thread pull would
+    stall every frame dispatch on the tunneled runtime)."""
+    def tone(arr):
+        arr8 = (np.clip(np.asarray(arr, np.float32), 0, 1)
+                * 255).astype(np.uint8)
+        try:
+            from PIL import Image
+            arr8 = np.asarray(Image.fromarray(arr8).resize(
+                (size[1], size[0]), Image.BICUBIC))
+        except ImportError:
+            pass            # inference-sized dump is still useful
+        return np.stack([arr8] * 3, -1)
+    writer.save(os.path.join(depth_dir, '%05d.jpg' % num), dmap[0, 0], tone)
 
 
 def get_args(argv=None):
@@ -114,6 +118,8 @@ def get_args(argv=None):
     parser.add_argument('--seed', default=0, type=int)
     add_parallel_flags(parser)
     a = parser.parse_args(argv)
+    if a.dualmod is not None and a.dualmod < 1:
+        parser.error('--dualmod must be a positive step interval')
 
     a.size = parse_size(a.size)
     a.gen = a.gen.upper()

@@ -91,6 +91,11 @@ def depthwarp(img_t, img, infer_any, strength=0.0, centre=(0.0, 0.0),
               midpoint=0.5, save_path=None, save_num=0, dlens=0.05):
     """Full per-frame depth warp (depth/depth.py:66-84).
 
+    Library/parity surface: the illustrip CLI runs these pieces split
+    across its fused frame program + one DA-V2 dispatch (parallel/step.py
+    build_frame_step / build_depth_helpers, built from the shared helpers
+    above); this whole-op form serves scripting users and the parity tests.
+
     img_t: the parameter-space frame to warp; img: its [0,1] RGB preview."""
     h, w = img.shape[-2:]
     depth = mirror_fused_depth(infer_any, depth_preview(img, (h, w)))
