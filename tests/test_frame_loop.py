@@ -153,3 +153,53 @@ def test_frames_per_dispatch_divisor():
     assert 200 % frames_per_dispatch((720, 1280), 200) == 0
     assert frames_per_dispatch((64, 64), 7) in (1, 7)
     assert frames_per_dispatch((4096, 4096), 199) == 1
+
+
+def test_train_loop_frames_dual_matches_per_step(setup):
+    """dualmod chunked loop (lax.cond tower swap) == per-step alternation."""
+    clip_params, par, sampler, prompts = setup
+    TINY2 = CLIPConfig("tiny2", 32, 32, 3, 48, 16, context_length=16,
+                       vocab_size=256, transformer_width=32,
+                       transformer_heads=2, transformer_layers=1,
+                       vision_heads_override=2)
+    clip_params2 = clip_init(jax.random.PRNGKey(9), TINY2)
+    emb2 = jax.random.normal(jax.random.PRNGKey(6), (1, TINY2.embed_dim))
+    prompts2 = ((emb2, jnp.ones((1,)), jnp.float32(-1.0)),)
+    settings = StepSettings(sim="cossim", transform="none", total_steps=8)
+    opt = build_optimizer("adam_custom", 0.05)
+    opt_step, nf, dm = 1, 4, 2
+
+    loop = build_train_loop_frames(par, sampler, TINY_CLIP, settings, opt,
+                                   opt_step, nf, step_index="step",
+                                   dual=(TINY2, dm))
+    step1 = build_train_step(par, sampler, TINY_CLIP, settings, opt)
+    step2 = build_train_step(par, sampler, TINY2, settings, opt)
+
+    init = par.init(jax.random.PRNGKey(1))
+    keys = jax.random.split(jax.random.PRNGKey(2), 2)
+
+    gp = jnp.array(init)
+    os_ = opt.init(gp)
+    pe = jnp.zeros((sampler.count, TINY_CLIP.embed_dim))
+    got_losses = []
+    for c in range(2):
+        gp, os_, pe, frames, losses = loop(
+            gp, os_, pe, clip_params, None, None, prompts,
+            clip_params2, None, prompts2, keys[c], jnp.int32(c * nf))
+        got_losses.extend(np.asarray(losses).tolist())
+
+    gp2 = init
+    os2 = opt.init(gp2)
+    pe2 = jnp.zeros((sampler.count, TINY_CLIP.embed_dim))
+    want_losses = []
+    for g in range(2 * nf):
+        k = jax.random.fold_in(keys[g // nf], g)
+        use2 = g > 0 and g % dm == 0   # clip_fft.py:135 schedule
+        step = step2 if use2 else step1
+        cw = clip_params2 if use2 else clip_params
+        pr = prompts2 if use2 else prompts
+        gp2, os2, pe2, loss = step(gp2, os2, pe2, cw, None, None, pr, k,
+                                   jnp.int32(g))
+        want_losses.append(float(loss))
+
+    np.testing.assert_allclose(got_losses, want_losses, rtol=2e-3, atol=2e-4)
