@@ -291,9 +291,28 @@ def run(a):
     # dualmod compiles both towers into the scan body (lax.cond per step);
     # spatial (own step/render) keeps the per-step loop, as does a step
     # count opt_step doesn't divide.
-    chunked = (spar is None and a.opt_step > 0
+    chunked = (a.opt_step > 0
                and a.steps % a.opt_step == 0 and a.steps >= a.opt_step)
-    if chunked:
+    if chunked and spar is not None:
+        # sharded-canvas counterpart (parallel/spatial.py)
+        from aphantasia_tpu.parallel.spatial import (
+            build_spatial_train_loop_frames)
+        n_frames_total = a.steps // a.opt_step
+        nf = frames_per_dispatch(tuple(a.size), n_frames_total)
+        sloop = build_spatial_train_loop_frames(
+            spar, sampler, clip1.cfg, settings, optimizer, a.opt_step, nf,
+            contrast=a.contrast)
+        for c in range(n_frames_total // nf):
+            key, k_c = jax.random.split(key)
+            gen_params, opt_state, prev_enc, frames_u8, losses = sloop(
+                gen_params, opt_state, prev_enc, clip1.params, aest,
+                prompts1, k_c, jnp.int32(c * nf))
+            writer.save_batch(
+                [os.path.join(tempdir, '%04d.jpg' % (c * nf + j))
+                 for j in range(nf)], frames_u8, tone)
+            for _ in range(nf):
+                pbar.upd()
+    elif chunked:
         n_frames_total = a.steps // a.opt_step
         nf = frames_per_dispatch(tuple(a.size), n_frames_total)
         dual = (clip2.cfg, a.dualmod) if clip2 is not None else None

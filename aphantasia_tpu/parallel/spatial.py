@@ -210,19 +210,9 @@ class SpatialFFT:
         return fn(params, jnp.asarray(self.scale))
 
 
-def build_spatial_train_step(spar: SpatialFFT, sampler, clip_cfg, settings,
-                             optimizer):
-    """clip_fft-style training step over the spatially-sharded decode+cut.
-
-    Mirrors parallel/step.py:build_train_step for the loss terms that
-    operate on cutouts/encodings (prompt groups, aesthetic, enforce,
-    expand); image-space terms (sharp, sync, noise shift) need the full
-    frame and are rejected by the CLI before getting here.
-
-    Returns train_step(gen_params, opt_state, prev_enc, clip_params,
-    aest_params, prompts, key, step_i) -> (gen_params, opt_state, out_enc,
-    loss); gen_params live Wf-sharded (spar.init / spar.shard)."""
-    import optax  # noqa: F401  (signature parity with step.py)
+def _spatial_grad_fn(spar: SpatialFFT, sampler, clip_cfg, settings):
+    """value_and_grad of the sharded-canvas loss — shared by the per-step
+    and the chunked-frames builders below."""
     from aphantasia_tpu.ops.augs import get_transform
     from aphantasia_tpu.ops.losses import sim_func, aesthetic_apply
     from aphantasia_tpu.models.clip.model import encode_image
@@ -272,7 +262,22 @@ def build_spatial_train_step(spar: SpatialFFT, sampler, clip_cfg, settings,
                 out_enc, prev_enc, settings.sim)
         return loss, jax.lax.stop_gradient(out_enc)
 
-    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    return jax.value_and_grad(loss_fn, has_aux=True)
+
+
+def build_spatial_train_step(spar: SpatialFFT, sampler, clip_cfg, settings,
+                             optimizer):
+    """clip_fft-style training step over the spatially-sharded decode+cut.
+
+    Mirrors parallel/step.py:build_train_step for the loss terms that
+    operate on cutouts/encodings (prompt groups, aesthetic, enforce,
+    expand); image-space terms (sharp, sync, noise shift) need the full
+    frame and are rejected by the CLI before getting here.
+
+    Returns train_step(gen_params, opt_state, prev_enc, clip_params,
+    aest_params, prompts, key, step_i) -> (gen_params, opt_state, out_enc,
+    loss); gen_params live Wf-sharded (spar.init / spar.shard)."""
+    grad_fn = _spatial_grad_fn(spar, sampler, clip_cfg, settings)
 
     def train_step(gen_params, opt_state, prev_enc, clip_params, aest_params,
                    prompts, key, step_i):
@@ -284,3 +289,52 @@ def build_spatial_train_step(spar: SpatialFFT, sampler, clip_cfg, settings,
         return gen_params, opt_state, out_enc, loss
 
     return jax.jit(train_step, donate_argnums=(0, 1, 2))
+
+
+def build_spatial_train_loop_frames(spar: SpatialFFT, sampler, clip_cfg,
+                                    settings, optimizer, opt_step: int,
+                                    n_frames: int, contrast: float = 1.0):
+    """Chunked frame-group loop for the sharded canvas — the spatial
+    counterpart of parallel/step.py:build_train_loop_frames (same cadence:
+    step -> uint8 render -> opt_step-1 steps, `n_frames` groups per
+    dispatch), amortizing the tunneled per-program overhead that costs
+    ~20% of a 4K step.
+
+    Returns loop(gen_params, opt_state, prev_enc, clip_params, aest_params,
+    prompts, key, frame0) -> (gen_params, opt_state, prev_enc,
+    frames [n_frames,H,W,3] uint8, losses [n_frames*opt_step])."""
+    grad_fn = _spatial_grad_fn(spar, sampler, clip_cfg, settings)
+
+    def loop(gen_params, opt_state, prev_enc, clip_params, aest_params,
+             prompts, key, frame0):
+        def one_step(carry, gstep, fstep):
+            gp, os_, pe = carry
+            k = jax.random.fold_in(key, gstep)
+            (loss, out_enc), grads = grad_fn(gp, clip_params, aest_params,
+                                             prompts, pe, k, fstep)
+            updates, os_ = optimizer.update(grads, os_, gp)
+            gp = jax.tree_util.tree_map(lambda p, u: p + u, gp, updates)
+            return (gp, os_, out_enc), loss
+
+        def frame_body(carry, j):
+            fstep = frame0 + j
+            base = fstep * opt_step
+            carry, l0 = one_step(carry, base, fstep)
+            img = spar.render(carry[0], contrast=contrast)
+            img = jnp.clip(img[0].transpose(1, 2, 0), 0.0, 1.0)
+            frame = (img * 255.0 + 0.5).astype(jnp.uint8)
+            if opt_step > 1:
+                carry, lrest = jax.lax.scan(
+                    lambda c, t: one_step(c, base + 1 + t, fstep),
+                    carry, jnp.arange(opt_step - 1, dtype=jnp.int32))
+                losses = jnp.concatenate([l0[None], lrest])
+            else:
+                losses = l0[None]
+            return carry, (frame, losses)
+
+        (gp, os_, pe), (frames, losses) = jax.lax.scan(
+            frame_body, (gen_params, opt_state, prev_enc),
+            jnp.arange(n_frames, dtype=jnp.int32))
+        return gp, os_, pe, frames, losses.reshape(-1)
+
+    return jax.jit(loop, donate_argnums=(0, 1, 2))

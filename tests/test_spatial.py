@@ -107,3 +107,18 @@ def test_spatial_sharp_matches_derivat():
     _, sharp = jax.jit(lambda p: cuts_fn(p, wy, wx))(spar.shard(params))
     ref = derivat(par.image(params), mode="naiv")
     np.testing.assert_allclose(float(sharp), float(ref), rtol=1e-4)
+
+
+def test_clip_fft_spatial_cli_chunked(tmp_path):
+    """clip_fft --spatial end-to-end: the chunked spatial frames loop
+    (parallel/spatial.py:build_spatial_train_loop_frames) on the virtual
+    mesh — frames saved, loss finite."""
+    import os
+    from aphantasia_tpu.cli.clip_fft import main
+    out = str(tmp_path / "sp")
+    main(["-t", "test", "--size", "96-64", "--steps", "4", "--samples", "3",
+          "--out_dir", out, "-nv", "--transform", "none", "--spatial", "4"])
+    run = [os.path.join(out, d) for d in os.listdir(out)
+           if os.path.isdir(os.path.join(out, d))][0]
+    frames = [f for f in os.listdir(run) if f.endswith(".jpg")]
+    assert len(frames) == 4
