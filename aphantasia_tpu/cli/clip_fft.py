@@ -293,6 +293,11 @@ def run(a):
     # count opt_step doesn't divide.
     chunked = (a.opt_step > 0
                and a.steps % a.opt_step == 0 and a.steps >= a.opt_step)
+    # one base key for the whole loop: per-step keys are
+    # fold_in(k_loop, global_step) in every path (chunked loops fold the
+    # scan's global step; the fallback folds i below), so the RNG stream is
+    # identical whichever path runs and however frames chunk per dispatch
+    key, k_loop = jax.random.split(key)
     if chunked and spar is not None:
         # sharded-canvas counterpart (parallel/spatial.py)
         from aphantasia_tpu.parallel.spatial import (
@@ -303,10 +308,9 @@ def run(a):
             spar, sampler, clip1.cfg, settings, optimizer, a.opt_step, nf,
             contrast=a.contrast)
         for c in range(n_frames_total // nf):
-            key, k_c = jax.random.split(key)
             gen_params, opt_state, prev_enc, frames_u8, losses = sloop(
                 gen_params, opt_state, prev_enc, clip1.params, aest,
-                prompts1, k_c, jnp.int32(c * nf))
+                prompts1, k_loop, jnp.int32(c * nf))
             writer.save_batch(
                 [os.path.join(tempdir, '%04d.jpg' % (c * nf + j))
                  for j in range(nf)], frames_u8, tone)
@@ -321,12 +325,11 @@ def run(a):
                                         contrast=a.contrast, mesh=mesh,
                                         dual=dual)
         for c in range(n_frames_total // nf):
-            key, k_c = jax.random.split(key)
             extra = ((clip2.params, aest2, prompts2) if clip2 is not None
                      else ())
             gen_params, opt_state, prev_enc, frames_u8, losses = loop1(
                 gen_params, opt_state, prev_enc, clip1.params, aest,
-                lpips_bundle, prompts1, *extra, k_c, jnp.int32(c * nf))
+                lpips_bundle, prompts1, *extra, k_loop, jnp.int32(c * nf))
             # one transfer for the whole chunk, pulled in the writer thread
             writer.save_batch(
                 [os.path.join(tempdir, '%04d.jpg' % (c * nf + j))
@@ -335,7 +338,7 @@ def run(a):
                 pbar.upd()
     else:
         for i in range(a.steps):
-            key, k_step = jax.random.split(key)
+            k_step = jax.random.fold_in(k_loop, i)
             use2 = clip2 is not None and i in dm_nums
             step = step2 if use2 else step1
             clip_w = clip2.params if use2 else clip1.params

@@ -150,11 +150,13 @@ def run(a):
     nf = frames_per_dispatch(tuple(a.size), a.steps)
     loop = build_train_loop_frames(par, sampler, clip1.cfg, settings,
                                    optimizer, 1, nf, mesh=mesh)
+    # one base key for every dispatch: per-step keys fold the global step,
+    # so the stream is invariant to the chunk size nf
+    key, k_loop = jax.random.split(key)
     for c in range(a.steps // nf):
-        key, k_c = jax.random.split(key)
         gen_params, opt_state, prev_enc, frames_u8, loss = loop(
             gen_params, opt_state, prev_enc, clip1.params, None, None,
-            prompts, k_c, jnp.int32(c * nf))
+            prompts, k_loop, jnp.int32(c * nf))
         writer.save_batch(
             [os.path.join(tempdir, '%04d.jpg' % (c * nf + j))
              for j in range(nf)], frames_u8)

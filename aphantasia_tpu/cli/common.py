@@ -204,17 +204,22 @@ def setup_mesh(spec, clip_wrappers=(), verbose=True):
 
 
 def maybe_translate(texts, enabled: bool, verbose=True):
-    """--translate needs googletrans; unavailable here -> warn & passthrough
-    (the reference exits, clip_fft.py:84-85; we degrade gracefully)."""
+    """--translate needs googletrans; exit loudly when it is unavailable
+    (matches the reference, clip_fft.py:84-85 — a silent passthrough would
+    feed untranslated text to CLIP without the user knowing)."""
     if not enabled:
         return texts
     try:
         from googletrans import Translator
-        tr = Translator()
-        if isinstance(texts, str):
-            return tr.translate(texts, dest="en").text
-        return [t.text for t in tr.translate(texts)]
     except ImportError:
+        raise SystemExit(
+            " --translate requires the googletrans package, which is not "
+            "installed.\n Install it (`pip install googletrans`) or drop "
+            "--translate and pass English prompts.")
+    tr = Translator()
+    if isinstance(texts, str):
+        out = tr.translate(texts, dest="en").text
         if verbose:
-            print(" googletrans not installed; skipping translation")
-        return texts
+            print(" translated to:", out)
+        return out
+    return [t.text for t in tr.translate(texts)]

@@ -110,8 +110,7 @@ def run(a):
     siren = a.generator == 'siren'
     if a.resume is not None and os.path.isfile(a.resume):
         if siren:
-            gen_params, nf, num_layers = siren_mod.load_npy(
-                a.resume, a.w0, a.w0_first)
+            gen_params, nf, num_layers = siren_mod.load_npy(a.resume)
             a.nf, a.layers = nf, num_layers
             par = SIRENParameterizer(tuple(a.size), nf, num_layers,
                                      a.w0, a.w0_first)
@@ -234,6 +233,9 @@ def run(a):
     # dualmod rides it too (both towers in the scan body, cond-swapped)
     chunked = (a.fstep > 0 and a.steps % a.fstep == 0
                and a.steps >= a.fstep)
+    # path-independent RNG: one base key; per-step keys fold the global
+    # step index in both the chunked scan and the fallback loop
+    key, k_loop = jax.random.split(key)
     if chunked:
         from aphantasia_tpu.parallel.step import (build_train_loop_frames,
                                                   frames_per_dispatch)
@@ -245,12 +247,11 @@ def run(a):
                                         step_index='step', with_params=True,
                                         dual=dual)
         for c in range(n_frames_total // nf):
-            key, k_c = jax.random.split(key)
             extra = ((clip2.params, aest2, prompts2)
                      if clip2 is not None else ())
             (gen_params, opt_state, prev_enc, frames_u8, bparams,
              loss) = loop1(gen_params, opt_state, prev_enc, clip1.params,
-                           aest, None, prompts1, *extra, k_c,
+                           aest, None, prompts1, *extra, k_loop,
                            jnp.int32(c * nf))
             fnames = [os.path.join(tempdir, '%04d' % (c * nf + j))
                       for j in range(nf)]
@@ -263,7 +264,7 @@ def run(a):
                 pbar.upd()
     else:
         for i in range(a.steps):
-            key, k_step = jax.random.split(key)
+            k_step = jax.random.fold_in(k_loop, i)
             use2 = clip2 is not None and i in dm_nums
             step = step2 if use2 else step1
             gen_params, opt_state, prev_enc, loss = step(

@@ -268,15 +268,17 @@ def run(a):
 
             prev_enc = jnp.zeros((a.samples, clip1.cfg.embed_dim))
             pbar = get_progress_bar()(a.steps // a.save_step)
+            # per-scene base key; per-step keys fold the global step in
+            # both paths, so the stream is path- and chunk-size-invariant
+            k_scene = jax.random.fold_in(key, num)
             if chunk_loop is not None:
                 for c in range(n_frames_total // nf):
-                    key, k_c = jax.random.split(key)
                     extra = ((clip2.params, aest2, prompts2)
                              if clip2 is not None else ())
                     (gen_params, opt_state, prev_enc, frames_u8,
                      loss) = chunk_loop(
                         gen_params, opt_state, prev_enc, clip1.params, aest,
-                        None, prompts1, *extra, k_c, jnp.int32(c * nf))
+                        None, prompts1, *extra, k_scene, jnp.int32(c * nf))
                     writer.save_batch(
                         [os.path.join(tempdir, '%04d.jpg' % (c * nf + j))
                          for j in range(nf)], frames_u8)
@@ -284,7 +286,7 @@ def run(a):
                         pbar.upd()
             else:
                 for i in range(a.steps):
-                    key, k_step = jax.random.split(key)
+                    k_step = jax.random.fold_in(k_scene, i)
                     use2 = clip2 is not None and i in dm_nums
                     step = step2 if use2 else step1
                     clip_w = clip2.params if use2 else clip1.params

@@ -68,6 +68,15 @@ def main(argv=None):
 
     # fleet fan-out: transitions are independent -> one pair per host
     pairs = shard_scenes(len(ptfiles), rank, world)
+    if world > 1:
+        # drop stale frames for THIS rank's pairs from a previous run in
+        # the reused shared tempdir — pairs are disjoint across ranks, so
+        # each rank cleaning its own filenames cannot race the others
+        for px in pairs:
+            for j in range(vsteps):
+                stale = os.path.join(tempdir, '%05d.jpg' % (px * vsteps + j))
+                if os.path.exists(stale):
+                    os.remove(stale)
 
     from aphantasia_tpu.io.media import AsyncFrameWriter
     pbar = get_progress_bar()(vsteps * len(pairs))
@@ -89,18 +98,26 @@ def main(argv=None):
         if rank != 0:
             return
         import time
-        expected = vsteps * len(ptfiles)
+        # poll for this run's exact filenames (not any .jpg) so leftovers
+        # from other configs in the shared tempdir can't fake completion
+        expected_names = ['%05d.jpg' % (px * vsteps + j)
+                          for px in range(len(ptfiles)) for j in range(vsteps)]
+        expected = len(expected_names)
         deadline = time.monotonic() + float(
             os.environ.get('APHANTASIA_FLEET_WAIT', '0'))
-        n_frames = len([f for f in os.listdir(tempdir) if f.endswith('.jpg')])
+
+        def count():
+            return sum(os.path.exists(os.path.join(tempdir, f))
+                       for f in expected_names)
+
+        n_frames = count()
         while n_frames < expected:
             if time.monotonic() >= deadline:
                 print(' fleet: %d/%d frames present — rerun on one host to '
                       'assemble' % (n_frames, expected))
                 return
             time.sleep(2.0)
-            n_frames = len([f for f in os.listdir(tempdir)
-                            if f.endswith('.jpg')])
+            n_frames = count()
     out = frames_to_video(tempdir, '%s-pts.mp4' % a.in_dir.rstrip('/'),
                           pattern='%05d.jpg', fps=a.fps)
     if out and a.verbose:

@@ -93,11 +93,20 @@ def _upsample(x, p):
     return _conv(x, p)
 
 
-def vqgan_decode(params, cfg: VQGANConfig, z, dtype=jnp.float32):
-    """z: [1, z_channels, h, w] -> image [1,3,H,W] in [0,1]
-    (includes post_quant_conv and the notebook's (x+1)/2)."""
+def vqgan_decode(params, cfg: VQGANConfig, z, dtype=jnp.float32,
+                 use_post_quant: bool = False):
+    """z: [1, z_channels, h, w] -> image [1,3,H,W] in [0,1].
+
+    Matches the reference notebook's decode exactly: `VQModel.decode(quant)`
+    is `self.decoder(quant)` with NO post_quant_conv
+    (reference CLIP_VQGAN.ipynb cell 2), then `(x+1)/2` (`vqgan_image`).
+    Trained-latent .pt snapshots therefore port between backends.
+    `use_post_quant=True` opts into the taming `VQModel.decode` semantics
+    (post_quant_conv first) for decoding *quantized* codebook latents.
+    """
     x = z.astype(dtype).transpose(0, 2, 3, 1)
-    x = _conv(x, params["post_quant"])
+    if use_post_quant:
+        x = _conv(x, params["post_quant"])
     x = _conv(x, params["conv_in"])
     mid = params["mid"]
     x = _resnet_block(x, mid["block1"])
@@ -255,8 +264,7 @@ def convert_taming(path_or_sd, cfg: VQGANConfig):
             lev["upsample"] = conv(f"decoder.up.{level}.upsample.conv")
         ups.append(lev)
 
-    return {
-        "post_quant": conv("post_quant_conv"),
+    out = {
         "conv_in": conv("decoder.conv_in"),
         "mid": {"block1": res("decoder.mid.block_1"),
                 "attn": attn("decoder.mid.attn_1"),
@@ -265,3 +273,6 @@ def convert_taming(path_or_sd, cfg: VQGANConfig):
         "norm_out": norm("decoder.norm_out"),
         "conv_out": conv("decoder.conv_out"),
     }
+    if "post_quant_conv.weight" in sd:  # kept for use_post_quant decodes
+        out["post_quant"] = conv("post_quant_conv")
+    return out

@@ -64,6 +64,19 @@ def init_fleet(spec: Optional[str] = None) -> Tuple[int, int]:
             jax.distributed.initialize(coordinator_address=coordinator,
                                        num_processes=world, process_id=rank)
             rank, world = jax.process_index(), jax.process_count()
+        else:
+            # a coordinator-less 'R/N' must not silently desync scene
+            # sharding from an already-running JAX multi-process runtime
+            # (e.g. TPU pod auto-bootstrap) — prefer the real topology
+            try:
+                import jax
+                pr, pw = jax.process_index(), jax.process_count()
+            except Exception:
+                pr, pw = 0, 1
+            if pw > 1 and (pr, pw) != (rank, world):
+                print(f" fleet: spec {rank}/{world} disagrees with the "
+                      f"initialized JAX runtime {pr}/{pw}; using the runtime")
+                rank, world = pr, pw
         _FLEET = (rank, world)
         return _FLEET
     try:

@@ -89,9 +89,10 @@ class SIRENParameterizer:
         return self.decode(params, shift, contrast)
 
 
-def load_npy(path: str, w0: float = 30.0, w0_first: float = 30.0):
+def load_npy(path: str):
     """Load a SIREN `.npy` snapshot; infers (nf, num_layers) from shapes
-    (w0 is not stored in the shared CPPN layout — pass it explicitly)."""
+    (w0 is not stored in the shared CPPN layout — it lives on the
+    parameterizer, so it is not a load-time argument)."""
     arrays = np.load(path, allow_pickle=True)
     nf = arrays[0].shape[-1]
     num_layers = len(arrays) // 2 - 1
@@ -107,7 +108,9 @@ def to_shader_layers(params, w0: float = 30.0, w0_first: float = 30.0):
 
     The per-layer frequency w0 is folded into the exported weights/biases
     (sin(w0*(Wx+b)) == sin((w0*W)x + w0*b)) so the shader emits a plain
-    sin() — no extra uniforms needed."""
+    sin() — no extra uniforms needed.  The output head is labelled
+    'sigmoid' (not 'sine'): SIREN's final layer has no sine, and the
+    shader emitter's rgb-return branch keys off the activation label."""
     n = len(params)
     layers = []
     for i, p in enumerate(params):
@@ -117,7 +120,7 @@ def to_shader_layers(params, w0: float = 30.0, w0_first: float = 30.0):
             om = np.float32(w0_first if i == 0 else w0)
             w, b = w * om, b * om
         layers.append({"weights": w[None, None], "bias": b,
-                       "activation": "sine"})
+                       "activation": "sine" if i < n - 1 else "sigmoid"})
     return layers
 
 

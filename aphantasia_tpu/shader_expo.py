@@ -63,7 +63,11 @@ def _layer_code(e: _Emitter, layers, mode: str) -> str:
             elif not e.hlsl and li == 3:
                 line += " + in%d" % (to % 4)
             code += line + ";\n"
-        if nout != 3:
+        if activation == "sigmoid" and nout != 3:
+            raise ValueError(
+                "sigmoid output head must emit 3 channels for shader "
+                "export, got %d" % nout)
+        if nout != 3 and activation != "sigmoid":
             half = nout // 4
             for to in range(half):
                 if activation in ("comp", "unbias"):
