@@ -158,18 +158,45 @@ class AsyncFrameWriter:
     use as a context manager) before assembling video.
     """
 
-    def __init__(self, maxsize: int = 16):
+    def __init__(self, cap_bytes: int = 256_000_000):
         import queue
         import threading
-        # back-pressure is counted in FRAMES, not queue items: a save_batch
-        # chunk can hold up to ~16 frames of device memory, so an item-count
-        # bound alone would let ~16 chunks (~1GB+ of HBM at 720p) pile up
+        # back-pressure is counted in BYTES, not items or frames: a
+        # save_batch chunk at 4K holds ~25MB per frame, so an item- or
+        # frame-count bound alone could let ~800MB of pending arrays pile
+        # up (VERDICT r1 item 10). An oversized single chunk is admitted
+        # only when the pipeline is empty, so it can never deadlock.
         self._q = queue.Queue()
-        self._maxsize = maxsize
-        self._budget = threading.Semaphore(maxsize)
+        self._cap = cap_bytes
+        self._cv = threading.Condition()
+        self._inflight = 0                     # bytes enqueued, not yet written
         self._err = None
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
+
+    @staticmethod
+    def _nbytes(arr) -> int:
+        try:
+            return int(arr.nbytes)
+        except Exception:
+            shape = getattr(arr, "shape", None)
+            if not shape:
+                return 1
+            n = 1
+            for s in shape:
+                n *= int(s)
+            return n  # uint8 assumption; frames are uint8 by contract
+
+    def _admit(self, nbytes: int):
+        with self._cv:
+            while self._inflight > 0 and self._inflight + nbytes > self._cap:
+                self._cv.wait()
+            self._inflight += nbytes
+
+    def _release(self, nbytes: int):
+        with self._cv:
+            self._inflight -= nbytes
+            self._cv.notify_all()
 
     def _worker(self):
         import numpy as np
@@ -177,9 +204,7 @@ class AsyncFrameWriter:
             item = self._q.get()
             if item is None:
                 return
-            path, arr, tone = item
-            n_frames = (min(len(path), self._maxsize)
-                        if isinstance(path, list) else 1)
+            path, arr, tone, nbytes = item
             try:
                 # NOTE: keep this a plain transfer — issuing device COMPUTE
                 # (e.g. stacking frames to batch the pull) from this thread
@@ -197,16 +222,16 @@ class AsyncFrameWriter:
             except Exception as e:             # surfaced by close()
                 self._err = e
             finally:
-                for _ in range(n_frames):
-                    self._budget.release()
+                self._release(nbytes)
 
     def save(self, path, device_array, tone=None):
         """Enqueue a frame; `tone(np_uint8_array) -> np_uint8_array` runs in
         the worker (the CLIs' empirical tone maps, clip_fft.py:300-304)."""
         if self._err:
             raise self._err
-        self._budget.acquire()
-        self._q.put((path, device_array, tone))
+        nbytes = self._nbytes(device_array)
+        self._admit(nbytes)
+        self._q.put((path, device_array, tone, nbytes))
 
     def save_batch(self, paths, stacked, tone=None):
         """Enqueue a chunk: `stacked` is ONE device array [N,H,W,3] from a
@@ -217,11 +242,9 @@ class AsyncFrameWriter:
         if self._err:
             raise self._err
         paths = list(paths)
-        # frame-count back-pressure (see __init__); capped at the budget so
-        # an oversized chunk can never deadlock against itself
-        for _ in range(min(len(paths), self._maxsize)):
-            self._budget.acquire()
-        self._q.put((paths, stacked, tone))
+        nbytes = self._nbytes(stacked)
+        self._admit(nbytes)
+        self._q.put((paths, stacked, tone, nbytes))
 
     def close(self):
         self._q.put(None)

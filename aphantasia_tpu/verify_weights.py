@@ -1,0 +1,232 @@
+"""One-command weight verification: `python -m aphantasia_tpu.verify_weights [dir]`.
+
+Makes the fidelity story executable the moment real checkpoints exist
+(VERDICT r1 item 8).  For every frozen tower the reference auto-downloads
+(CLIP via `clip.load`, reference clip_fft.py:119; aesthetic head via
+urllib, reference aphantasia/utils.py:402-413; LPIPS/DA-V2 via pip
+caches; VQGAN from Heidelberg, CLIP_VQGAN.ipynb cell 2), this tool:
+
+  1. resolves a checkpoint — conventional filenames under the given dir,
+     else the APHANTASIA_*_PT env var, else MISSING;
+  2. converts it through the production converter and runs a forward;
+  3. where torch can execute the source checkpoint (CLIP jit archives,
+     HF DA-V2 dirs, aesthetic linear heads), computes the cosine /
+     correlation the `-m weights` test tier asserts (>= 0.98);
+  4. prints an honest table — with no checkpoints, every row is MISSING.
+
+Exit code: 1 if any *present* checkpoint fails verification, else 0
+(missing checkpoints are reported, not failed — the env is hermetic).
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+# file-name conventions scanned under the checkpoint dir, per component
+CLIP_FILES = {
+    "ViT-B-32.pt": "ViT-B/32", "ViT-B-16.pt": "ViT-B/16",
+    "ViT-L-14.pt": "ViT-L/14", "RN50.pt": "RN50", "RN101.pt": "RN101",
+    "RN50x4.pt": "RN50x4", "RN50x16.pt": "RN50x16", "RN50x64.pt": "RN50x64",
+}
+
+PROMPTS = ["a photograph of a red fox in snow",
+           "an oil painting of a lighthouse at dusk"]
+
+
+def _cos(a, b):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    return float(((a * b).sum(-1) / (np.linalg.norm(a, axis=-1)
+                                     * np.linalg.norm(b, axis=-1))).min())
+
+
+def _find(dirpath, names=(), substrs=(), exts=(), want_dir=False):
+    if not dirpath or not os.path.isdir(dirpath):
+        return None
+    entries = sorted(os.listdir(dirpath))
+    for n in names:
+        if n in entries:
+            return os.path.join(dirpath, n)
+    for e in entries:
+        p = os.path.join(dirpath, e)
+        if want_dir != os.path.isdir(p):
+            continue
+        low = e.lower()
+        if any(s in low for s in substrs) and (
+                want_dir or any(low.endswith(x) for x in exts)):
+            return p
+    return None
+
+
+def _verify_clip(model, path):
+    import jax.numpy as jnp
+    from aphantasia_tpu.models.clip.model import (load_clip, encode_text,
+                                                  encode_image)
+    from aphantasia_tpu.models.clip.tokenizer import tokenize
+    params, cfg = load_clip(model, path)
+    toks = np.asarray(tokenize(PROMPTS, context_length=cfg.context_length))
+    rng = np.random.RandomState(0)
+    imgs = rng.rand(2, 3, cfg.image_resolution,
+                    cfg.image_resolution).astype(np.float32)
+    ours_t = np.asarray(encode_text(params, cfg, jnp.asarray(toks)))
+    ours_i = np.asarray(encode_image(params, cfg, jnp.asarray(imgs)))
+    if not (np.isfinite(ours_t).all() and np.isfinite(ours_i).all()):
+        return "FAILED", "non-finite encodings"
+    try:
+        import torch
+        ref = torch.jit.load(path, map_location="cpu").float().eval()
+    except Exception:
+        return "converted", "forward finite; no runnable torch reference"
+    with torch.no_grad():
+        ref_t = ref.encode_text(torch.as_tensor(toks)).numpy()
+        ref_i = ref.encode_image(torch.as_tensor(imgs)).numpy()
+    c = min(_cos(ours_t, ref_t), _cos(ours_i, ref_i))
+    return (("verified", f"cosine {c:.4f} >= 0.98") if c >= 0.98
+            else ("FAILED", f"cosine {c:.4f} < 0.98"))
+
+
+def _verify_aesthetic(path):
+    import jax.numpy as jnp
+    from aphantasia_tpu.ops.losses import aesthetic_load, aesthetic_apply
+    params = aesthetic_load(path)
+    dim = params["w"].shape[0]
+    emb = np.random.RandomState(1).randn(4, dim).astype(np.float32)
+    ours = np.asarray(aesthetic_apply(params, jnp.asarray(emb)))
+    try:
+        import torch
+        sd = torch.load(path, map_location="cpu")
+        sd = {k.split(".")[-1]: v.float().numpy() for k, v in sd.items()}
+        ref = emb @ sd["weight"].T + sd["bias"]
+    except Exception:
+        return "converted", "forward finite; no runnable torch reference"
+    err = float(np.abs(ours.ravel() - ref.ravel()).max())
+    return (("verified", f"max |diff| {err:.2e}") if err < 1e-4
+            else ("FAILED", f"max |diff| {err:.2e}"))
+
+
+def _verify_lpips(path):
+    import jax
+    import jax.numpy as jnp
+    from aphantasia_tpu.models.lpips import lpips_get, lpips_apply
+    params = lpips_get(jax.random.PRNGKey(0), path)
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.rand(1, 3, 64, 64), jnp.float32)
+    y = jnp.asarray(rng.rand(1, 3, 64, 64), jnp.float32)
+    d = float(lpips_apply(params, x, y)[0])
+    d0 = float(lpips_apply(params, x, x)[0])
+    if not np.isfinite(d) or abs(d0) > 1e-6 or d <= 0:
+        return "FAILED", f"d(x,y)={d:.4f} d(x,x)={d0:.2e}"
+    return ("verified",
+            f"d(x,y)={d:.4f}, d(x,x)=0 (math golden-bound in tests/test_lpips.py)")
+
+
+def _verify_dav2(path):
+    import jax.numpy as jnp
+    from aphantasia_tpu.models.depth_anything import InferDepthAny
+    os.environ.setdefault("APHANTASIA_DAV2_PT", path)
+    infer = InferDepthAny("s", params=None)
+    rng = np.random.RandomState(3)
+    img = rng.rand(1, 3, 14 * 6, 14 * 8).astype(np.float32)
+    ours = np.asarray(infer(jnp.asarray(img)))
+    if not np.isfinite(ours).all():
+        return "FAILED", "non-finite depth"
+    try:
+        import torch
+        import transformers
+        hf = transformers.AutoModelForDepthEstimation.from_pretrained(
+            path).eval()
+    except Exception:
+        return "converted", "depth finite; no runnable torch reference"
+    mean = np.asarray([0.485, 0.456, 0.406])[None, :, None, None]
+    std = np.asarray([0.229, 0.224, 0.225])[None, :, None, None]
+    with torch.no_grad():
+        ref = hf(pixel_values=torch.as_tensor(
+            (img - mean) / std, dtype=torch.float32)).predicted_depth.numpy()
+    ref = (ref - ref.min()) / (ref.max() - ref.min() + 1e-12)
+    corr = float(np.corrcoef(ours.ravel(), ref.ravel())[0, 1])
+    return (("verified", f"corr {corr:.4f} >= 0.98") if corr >= 0.98
+            else ("FAILED", f"corr {corr:.4f} < 0.98"))
+
+
+def _verify_vqgan(path):
+    import jax.numpy as jnp
+    from aphantasia_tpu.models.vqgan import (VQGAN_CONFIGS, convert_taming,
+                                             vqgan_decode)
+    cfg = VQGAN_CONFIGS["gumbel_f8_8192" if "gumbel" in path.lower()
+                        else "imagenet_f16_16384"]
+    params = convert_taming(path, cfg)
+    img = vqgan_decode(params, cfg, jnp.zeros((1, cfg.z_channels, 8, 8)))
+    if not bool(jnp.isfinite(img).all()):
+        return "FAILED", "non-finite decode"
+    return ("converted",
+            f"decode finite ({cfg.name}; math golden-bound in tests/test_vqgan.py)")
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    ckpt_dir = argv[0] if argv else None
+    os.environ.setdefault("APHANTASIA_QUIET", "1")  # no random-init banners
+
+    from aphantasia_tpu.weights import env_weights
+
+    jobs = []  # (component, path or None, verify_fn)
+    clip_found = False
+    if ckpt_dir:
+        for fname, model in CLIP_FILES.items():
+            p = os.path.join(ckpt_dir, fname)
+            if os.path.isfile(p):
+                jobs.append((f"clip {model}", p,
+                             lambda p=p, m=model: _verify_clip(m, p)))
+                clip_found = True
+    if not clip_found:
+        p = env_weights("clip")
+        jobs.append(("clip ViT-B/32", p if p and os.path.exists(p) else None,
+                     (lambda p=p: _verify_clip("ViT-B/32", p)) if p else None))
+
+    for comp, find_kw, envk, fn in (
+            ("aesthetic", dict(substrs=("sa_0_4", "aesthetic"),
+                               exts=(".pth", ".pt")), "aesthetic",
+             _verify_aesthetic),
+            ("lpips", dict(substrs=("lpips",), exts=(".pt", ".npz")),
+             "lpips", _verify_lpips),
+            ("depth-anything-v2", dict(substrs=("depth", "dav2"),
+                                       want_dir=True), "dav2", _verify_dav2),
+            ("vqgan", dict(names=("last.ckpt",), substrs=("vqgan",),
+                           exts=(".ckpt", ".pt")), "vqgan", _verify_vqgan)):
+        p = _find(ckpt_dir, **find_kw) or env_weights(envk)
+        if p and not os.path.exists(p):
+            p = None
+        jobs.append((comp, p, (lambda p=p, fn=fn: fn(p)) if p else None))
+
+    rows, any_failed = [], False
+    for comp, path, fn in jobs:
+        if path is None:
+            rows.append((comp, "-", "MISSING",
+                         "no checkpoint found (see docs/WEIGHTS.md)"))
+            continue
+        try:
+            status, detail = fn()
+        except Exception as e:
+            status, detail = "FAILED", f"{type(e).__name__}: {e}"
+        any_failed |= status == "FAILED"
+        rows.append((comp, path, status, detail))
+
+    w0 = max(len(r[0]) for r in rows) + 2
+    w2 = max(len(r[2]) for r in rows) + 2
+    print(f"\n weight verification ({ckpt_dir or 'env vars only'}):\n")
+    for comp, path, status, detail in rows:
+        print(f"  {comp:<{w0}} {status:<{w2}} {detail}")
+        if path != "-":
+            print(f"  {'':<{w0}} {'':<{w2}} {path}")
+    n_ok = sum(r[2] in ("verified", "converted") for r in rows)
+    print(f"\n  {n_ok}/{len(rows)} present, "
+          f"{sum(r[2] == 'verified' for r in rows)} torch-verified, "
+          f"{sum(r[2] == 'MISSING' for r in rows)} missing, "
+          f"{sum(r[2] == 'FAILED' for r in rows)} failed\n")
+    return 1 if any_failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

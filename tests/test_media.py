@@ -1,0 +1,87 @@
+"""AsyncFrameWriter: correctness + byte-bounded back-pressure.
+
+VERDICT r1 item 10: the writer queue must be bounded by BYTES, not item
+count — at 4K a 16-item bound could hold ~800MB of pending arrays.
+"""
+import os
+import threading
+import time
+
+import numpy as np
+
+from aphantasia_tpu.io.media import AsyncFrameWriter
+
+
+def test_save_and_save_batch_write_frames(tmp_path):
+    rs = np.random.RandomState(0)
+    one = rs.randint(0, 255, (32, 48, 3), dtype=np.uint8)
+    batch = rs.randint(0, 255, (3, 32, 48, 3), dtype=np.uint8)
+    with AsyncFrameWriter() as w:
+        w.save(str(tmp_path / "a.jpg"), one)
+        w.save_batch([str(tmp_path / ("b%d.jpg" % i)) for i in range(3)],
+                     batch)
+    names = sorted(os.listdir(tmp_path))
+    assert names == ["a.jpg", "b0.jpg", "b1.jpg", "b2.jpg"]
+
+
+def test_tone_map_applied_in_worker(tmp_path):
+    frame = np.full((8, 8, 3), 100, np.uint8)
+    seen = []
+
+    def tone(f):
+        seen.append(f.copy())
+        return np.zeros_like(f)
+
+    with AsyncFrameWriter() as w:
+        w.save(str(tmp_path / "t.jpg"), frame, tone)
+    assert len(seen) == 1 and seen[0].max() == 100
+    from aphantasia_tpu.io.media import img_read
+    assert img_read(str(tmp_path / "t.jpg")).max() <= 20  # jpeg-lossy zero
+
+
+def test_byte_bound_blocks_oversized_backlog(tmp_path):
+    """Synthetic 4K chunks: with a ~1.5-chunk byte cap, the third enqueue
+    must block until the worker drains one, keeping in-flight bytes under
+    cap + one chunk at all times."""
+    chunk = np.zeros((2, 2160, 3840, 3), np.uint8)       # ~49.8MB
+    cap = int(chunk.nbytes * 1.5)
+    release = threading.Event()
+
+    def slow_tone(f):
+        release.wait(timeout=30)
+        return f
+
+    w = AsyncFrameWriter(cap_bytes=cap)
+    peak = []
+
+    def producer():
+        for c in range(3):
+            w.save_batch(
+                [str(tmp_path / ("c%d_%d.jpg" % (c, j))) for j in range(2)],
+                chunk, slow_tone)
+            with w._cv:
+                peak.append(w._inflight)
+
+    t = threading.Thread(target=producer)
+    t.start()
+    time.sleep(1.0)
+    # first chunk admitted + in the worker, second admitted, third blocked
+    assert t.is_alive(), "third oversized chunk should be back-pressured"
+    with w._cv:
+        assert w._inflight <= cap
+    release.set()
+    t.join(timeout=60)
+    assert not t.is_alive()
+    w.close()
+    assert max(peak) <= cap
+    assert len(os.listdir(tmp_path)) == 6
+
+
+def test_oversized_single_chunk_admitted_when_empty(tmp_path):
+    """A single chunk larger than the cap must not deadlock — it is
+    admitted when nothing else is in flight."""
+    chunk = np.zeros((4, 2160, 3840, 3), np.uint8)       # ~100MB
+    with AsyncFrameWriter(cap_bytes=chunk.nbytes // 2) as w:
+        w.save_batch(
+            [str(tmp_path / ("f%d.jpg" % j)) for j in range(4)], chunk)
+    assert len(os.listdir(tmp_path)) == 4
