@@ -228,29 +228,47 @@ def run(a):
     spar = None
     if a.spatial and a.spatial > 1:
         # spatially-sharded canvas (parallel/spatial.py): params + irfft2 +
-        # cutout contraction distributed; image-space loss terms need the
-        # full frame and are out of scope for this path
-        bad = [f for f, on in [('--dwt', a.dwt), ('--sync', a.sync > 0),
-                               ('--noise', a.noise > 0),
-                               ('--dualmod', a.dualmod is not None),
-                               ('--mesh', bool(a.mesh))] if on]
+        # cutout contraction distributed.  Composes with --noise (the shift
+        # is spectrum-shaped — the tensor already sharded), --dualmod (both
+        # towers in the scan body) and --mesh (cutouts over 'data', CLIP
+        # weights over 'model').  --dwt needs halo-exchange DWT and --sync
+        # needs the full frame for LPIPS; both stay out of scope here.
+        bad = [f for f, on in [('--dwt', a.dwt), ('--sync', a.sync > 0)]
+               if on]
         if bad:
             raise SystemExit(f"--spatial is incompatible with {bad} "
-                             "(FFT mode, cutout-space losses only)")
-        from aphantasia_tpu.parallel.mesh import make_mesh
+                             "(FFT mode; LPIPS sync needs the full frame)")
+        from aphantasia_tpu.parallel.mesh import (make_mesh_spatial,
+                                                  shard_clip_params)
         from aphantasia_tpu.parallel.spatial import (SpatialFFT,
                                                      build_spatial_train_step)
-        smesh = make_mesh(a.spatial, axes=("spatial",))
+        smesh = make_mesh_spatial(a.spatial, a.mesh)
+        # the custom-call attention kernel cannot be SPMD-partitioned over
+        # any mesh (see cli/common.py:setup_mesh)
+        import aphantasia_tpu.models.clip.model as clip_model
+        clip_model.FUSED_ATTN = False
+        if "model" in smesh.axis_names and smesh.shape["model"] > 1:
+            for wdl in (clip1, clip2):
+                if wdl is not None:
+                    wdl.params = shard_clip_params(wdl.params, smesh)
+        if "data" in smesh.axis_names and a.samples % smesh.shape["data"]:
+            dp = smesh.shape["data"]
+            a.samples += dp - a.samples % dp   # shard_map needs S % dp == 0
+            if a.verbose:
+                print(f' samples rounded up to {a.samples} (data mesh {dp})')
+            sampler = CutoutSampler(tuple(a.size), a.samples, a.modsize,
+                                    a.align, a.macro, use_pallas=a.pallas)
         spar = SpatialFFT(tuple(a.size), a.decay, a.colors, smesh)
         gen_params = spar.shard(gen_params)
         step1 = build_spatial_train_step(spar, sampler, clip1.cfg, settings,
                                          optimizer)
-        step2 = None
+        step2 = (build_spatial_train_step(spar, sampler, clip2.cfg, settings,
+                                          optimizer) if clip2 else None)
         render = lambda p, contrast=1.0: (jnp.clip(  # noqa: E731
             spar.render(p, contrast)[0].transpose(1, 2, 0), 0.0, 1.0)
             * 255.0 + 0.5).astype(jnp.uint8)
         if a.verbose:
-            print(f' spatial mesh: {a.spatial} devices')
+            print(f' spatial mesh: {dict(smesh.shape)}')
         mesh = None
     else:
         mesh = setup_mesh(a.mesh, (clip1, clip2), a.verbose)
@@ -304,13 +322,16 @@ def run(a):
             build_spatial_train_loop_frames)
         n_frames_total = a.steps // a.opt_step
         nf = frames_per_dispatch(tuple(a.size), n_frames_total)
+        dual = (clip2.cfg, a.dualmod) if clip2 is not None else None
         sloop = build_spatial_train_loop_frames(
             spar, sampler, clip1.cfg, settings, optimizer, a.opt_step, nf,
-            contrast=a.contrast)
+            contrast=a.contrast, dual=dual)
         for c in range(n_frames_total // nf):
+            extra = ((clip2.params, aest2, prompts2) if clip2 is not None
+                     else ())
             gen_params, opt_state, prev_enc, frames_u8, losses = sloop(
                 gen_params, opt_state, prev_enc, clip1.params, aest,
-                prompts1, k_loop, jnp.int32(c * nf))
+                prompts1, *extra, k_loop, jnp.int32(c * nf))
             writer.save_batch(
                 [os.path.join(tempdir, '%04d.jpg' % (c * nf + j))
                  for j in range(nf)], frames_u8, tone)

@@ -7,15 +7,20 @@ rotate(±30°, 20x zero-weighted) + CLIP normalize, transforms.py:165-170),
 `transforms_elastic` (:147-154).
 
 Re-architected TPU-first: the reference applies torchvision transforms per
-cutout in a Python loop; here every random parameter is an [S]-array under a
-threaded PRNG key, and all geometric ops collapse into ONE per-sample
+cutout in a Python loop; here every random parameter is an [S]-array under
+a threaded PRNG key, and all geometric stages collapse into ONE per-sample
 affine applied by the separable LDU warp (ops/sep_warp.py — FFT-phase
-shears + scale matmuls, no gathers: XLA TPU gathers made the step ~4s; this
-path is ~two orders faster).  Deviations (documented): the mild perspective
-(distortion 0.33) is applied as its least-squares affine fit; erasing
-commutes with the warp; 'elastic' uses real smooth separable displacements
-(the reference passes a zero noise field to kornia — an identity warp,
-known-bug list SURVEY.md §7).
+shears + scale matmuls).  XLA TPU gathers are unusable in the hot path
+(the exact 4-tap warp in ops/perspective.py measured 0.65s/step fwd-only
+inside the full program; its autodiff scatter ~3.5s/step), hence the
+gather-free machinery.  The perspective DRAW is torchvision-exact
+(integer randint displacements, true homography solve); the warp applies
+its per-sample affine fit.  Deviations (documented + measured in
+tests/test_aug_fidelity.py): per-sample projective bending beyond the
+fit; erasing commutes with the warp; one resample for the composed
+geometry where the reference resamples per stage; 'elastic' uses real
+smooth separable displacements (the reference passes a zero noise field
+to kornia — an identity warp, known-bug list SURVEY.md §7).
 """
 from __future__ import annotations
 
@@ -36,43 +41,6 @@ def _rot_a2(angles_deg):
     cos, sin = jnp.cos(r), jnp.sin(r)
     return jnp.stack([jnp.stack([cos, sin], -1),
                       jnp.stack([-sin, cos], -1)], -2)
-
-
-def _fit_affine(dst_pts, src_pts):
-    """Per-sample least-squares affine src ~= A2 @ dst + t.
-
-    dst_pts/src_pts: [S,4,2] (centered pixel coords).  Returns [S,2,3]."""
-    ones = jnp.ones(dst_pts.shape[:-1] + (1,))
-    x = jnp.concatenate([dst_pts, ones], -1)                  # [S,4,3]
-    xtx = jnp.einsum("spi,spj->sij", x, x)                    # [S,3,3]
-    xty = jnp.einsum("spi,spk->sik", x, src_pts)              # [S,3,2]
-    sol = jnp.linalg.solve(xtx, xty)                          # [S,3,2]
-    return jnp.swapaxes(sol, -1, -2)                          # [S,2,3]
-
-
-def random_perspective_affine(key, s, h, w, distortion=0.33, p=0.2):
-    """torchvision RandomPerspective corner displacements -> per-sample
-    affine fit [S,2,3] (identity with prob 1-p)."""
-    k_apply, k_pts = jax.random.split(key)
-    half_h = distortion * h // 2
-    half_w = distortion * w // 2
-    d = jax.random.uniform(k_pts, (s, 4, 2))
-    disp = jnp.stack([
-        jnp.stack([d[:, 0, 0] * half_w, d[:, 0, 1] * half_h], -1),
-        jnp.stack([-d[:, 1, 0] * half_w, d[:, 1, 1] * half_h], -1),
-        jnp.stack([-d[:, 2, 0] * half_w, -d[:, 2, 1] * half_h], -1),
-        jnp.stack([d[:, 3, 0] * half_w, -d[:, 3, 1] * half_h], -1),
-    ], 1)
-    cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
-    corners = jnp.asarray([[-cx, -cy], [cx, -cy], [cx, cy], [-cx, cy]],
-                          jnp.float32)[None]
-    startpoints = jnp.broadcast_to(corners, (s, 4, 2))
-    endpoints = startpoints + disp
-    aff = _fit_affine(endpoints, startpoints)   # sample src=start at dst=end
-    apply = (jax.random.uniform(k_apply, (s,)) < p)[:, None, None]
-    eye = jnp.broadcast_to(jnp.concatenate(
-        [jnp.eye(2), jnp.zeros((2, 1))], 1), aff.shape)
-    return jnp.where(apply, aff, eye)
 
 
 def _compose(a, b):
@@ -122,12 +90,28 @@ def _jitter_affine(key, s, d):
 
 
 def transforms_fast(key, cuts):
-    """perspective(0.33,p=0.2) ∘ rotate(±30°,20x0) as one separable affine,
-    then erasing(p=0.2), then CLIP normalize (transforms.py:165-170)."""
+    """perspective(0.33,p=0.2) ∘ rotate(±30°,20x0), then erasing(p=0.2),
+    then CLIP normalize (transforms.py:165-170).
+
+    The perspective draw is torchvision-EXACT (ops/perspective.py: integer
+    randint corner displacements, true 8-dof homography — VERDICT r1
+    item 3; the r1 code drew continuous displacements and fitted those).
+    The warp itself runs through the gather-free separable LDU machinery
+    at the least-squares affine fit of that exact homography:
+    `homography_warp` (the op-level exact 4-tap warp, golden-tested
+    against torch in tests/test_perspective.py) measured 0.65s/step via
+    XLA's TPU gather inside the full training program — ~15x the whole
+    step — so per-sample projective bending is the one remaining
+    deviation (measured in tests/test_aug_fidelity.py).  A Pallas one-hot
+    banded-matmul kernel is the known exact-and-fast path (docs/
+    ROUND2_NOTES.md)."""
     s, c, h, w = cuts.shape
     k1, k2, k3 = jax.random.split(key, 3)
-    aff = _compose(random_perspective_affine(k1, s, h, w),
-                   random_rotate_affine(k2, s))
+    from aphantasia_tpu.ops.perspective import (
+        perspective_endpoints, perspective_coeffs, affine_fit_centered)
+    start, end = perspective_endpoints(k1, s, h, w, distortion=0.33, p=0.2)
+    aff_p = affine_fit_centered(perspective_coeffs(start, end), h, w)
+    aff = _compose(aff_p, random_rotate_affine(k2, s))
     cuts = affine_warp(cuts, aff, pad=56, compute_dtype=jnp.bfloat16)
     cuts = random_erasing(k3, cuts)
     return clip_normalize(cuts)

@@ -40,6 +40,32 @@ def make_mesh_2d(data: int, model: int) -> Mesh:
     return Mesh(devs.reshape(data, model), ("data", "model"))
 
 
+def make_mesh_spatial(spatial: int, mesh_spec=None) -> Mesh:
+    """Compose the canvas axis with the cutout axes: ('data'[, 'model'],
+    'spatial') from the CLI --mesh/--spatial pair (VERDICT r1 item 1).
+    Spatial innermost so the image-sized FFT-transpose all_to_all rides
+    the fastest ICI links; the data axis only ever moves cut-sized
+    tensors."""
+    axes, shape = [], []
+    if mesh_spec and str(mesh_spec) not in ("0", "1"):
+        s = str(mesh_spec).lower()
+        if "x" in s:
+            dp, tp = (int(v) for v in s.split("x"))
+            axes += ["data", "model"]
+            shape += [dp, tp]
+        else:
+            axes += ["data"]
+            shape += [int(s)]
+    axes += ["spatial"]
+    shape += [int(spatial)]
+    n = int(np.prod(shape))
+    devs = jax.devices()
+    if len(devs) < n:
+        raise ValueError(f"mesh {dict(zip(axes, shape))} needs {n} devices, "
+                         f"have {len(devs)}")
+    return Mesh(np.asarray(devs[:n]).reshape(shape), tuple(axes))
+
+
 def shard_clip_params(params, mesh: Mesh):
     """Tensor-parallel layout for a CLIP param tree over the 'model' axis.
 

@@ -90,6 +90,12 @@ class SpatialFFT:
         self.colors = colors
         self.mesh = mesh
         self.n = mesh.shape["spatial"]
+        # spatial composes with a data axis (cutouts sharded over 'data',
+        # spectrum over 'spatial') and tolerates a 'model' axis (CLIP
+        # tensor parallel — unmentioned in the shard_map specs, so the
+        # spatial program is simply replicated over it)
+        self.data_axis = ("data" if "data" in mesh.axis_names
+                          and mesh.shape["data"] > 1 else None)
         h, w = self.size
         if h % self.n:
             raise ValueError(f"H={h} must divide the spatial axis ({self.n})")
@@ -161,6 +167,7 @@ class SpatialFFT:
         H-sharded, wx is replicated; `sampler` supplies static config."""
         dt = compute_dtype or jnp.float32
         pspec = P(None, None, None, "spatial", None)
+        da = self.data_axis     # cutout batch axis sharding (or None)
 
         def _local(params_loc, scale_loc, wy_loc, wx, shift_loc, contrast):
             img = self._decode_local(params_loc, scale_loc, shift_loc)
@@ -176,10 +183,12 @@ class SpatialFFT:
                 return cuts, self._sharp_local(img)
             return cuts
 
+        cuts_spec = P(da)
         fn = shard_map(
             _local, mesh=self.mesh,
-            in_specs=(pspec, pspec, P(None, None, "spatial"), P(), pspec, P()),
-            out_specs=(P(), P()) if with_sharp else P(),
+            in_specs=(pspec, pspec, P(da, None, "spatial"), P(da), pspec,
+                      P()),
+            out_specs=(cuts_spec, P()) if with_sharp else cuts_spec,
         )
 
         def cuts(params, wy, wx, shift=None, contrast=1.0):
@@ -192,7 +201,7 @@ class SpatialFFT:
         return cuts
 
     def wy_sharding(self):
-        return NamedSharding(self.mesh, P(None, None, "spatial"))
+        return NamedSharding(self.mesh, P(self.data_axis, None, "spatial"))
 
     def render(self, params, contrast: float = 1.0):
         """Full-image render (H-sharded internally, gathered at the end —
@@ -210,6 +219,100 @@ class SpatialFFT:
         return fn(params, jnp.asarray(self.scale))
 
 
+def spatial_frame_warp(spar: SpatialFFT, params, motion):
+    """The illustrip FFT-mode frame advance on the sharded canvas
+    (VERDICT r1 item 1: '--spatial to illustrip so a 4K video runs
+    sharded'; reference illustrip.py:386-423):
+
+      spectrum (Wf-sharded) -> distributed irfft2 (ifft_H local,
+      all_to_all transpose, irfft_W local) -> all_gather the H-sharded
+      rows ONCE (the only image-sized collective; the per-frame affine
+      motion is a global resample, so every chip warps the full frame
+      with exactly the dense path's `frame_transform` math — bitwise
+      parity with the single-device program) -> slice the local rows
+      back -> distributed rfft2 (rfft_W local, all_to_all, fft_H local)
+      -> spectrum (Wf-sharded, pad columns zero).
+
+    Raw ortho transforms, NO decay scale / contrast normalization —
+    mirrors the dense spectrum_to_image/image_to_spectrum round-trip
+    (params/fft.py:80-92).  Training steps before/after stay fully
+    sharded; only this once-per-frame warp touches a replicated frame.
+    """
+    from aphantasia_tpu.ops.warp import frame_transform
+    h, w = spar.size
+    n = spar.n
+    wf = w // 2 + 1
+    wf_p = spar.scale.shape[3]
+    pspec = P(None, None, None, "spatial", None)
+    cspec = P(None, None, None, "spatial")
+
+    def _local(params_loc, motion_v):
+        # ---- decode: Wf-sharded spectrum -> local image rows ----
+        spec = jax.lax.complex(params_loc[..., 0], params_loc[..., 1])
+        spec = jnp.fft.ifft(spec, axis=2, norm="ortho")
+        spec = jax.lax.all_to_all(spec, "spatial", split_axis=2,
+                                  concat_axis=3, tiled=True)
+        spec = spec[:, :, :, :wf]
+        img = jnp.fft.irfft(spec, n=w, axis=3, norm="ortho")   # [1,3,h/n,W]
+        # ---- gather rows, warp the full frame, take our rows back ----
+        full = jax.lax.all_gather(img, "spatial", axis=2, tiled=True)
+        angle, sh0, sh1, scale, shear = motion_v
+        full = frame_transform(full, (h, w), angle, (sh0, sh1), scale,
+                               shear)
+        idx = jax.lax.axis_index("spatial")
+        rows = jax.lax.dynamic_slice_in_dim(full, idx * (h // n), h // n,
+                                            axis=2)
+        # ---- re-encode: local rows -> Wf-sharded spectrum ----
+        spec = jnp.fft.rfft(rows, axis=3, norm="ortho")        # [1,3,h/n,wf]
+        if wf_p != wf:
+            spec = jnp.pad(spec, ((0, 0),) * 3 + ((0, wf_p - wf),))
+        spec = jax.lax.all_to_all(spec, "spatial", split_axis=3,
+                                  concat_axis=2, tiled=True)   # [1,3,h,wf_p/n]
+        spec = jnp.fft.fft(spec, axis=2, norm="ortho")
+        return jnp.stack([spec.real, spec.imag], axis=-1)
+
+    fn = shard_map(_local, mesh=spar.mesh, in_specs=(pspec, P()),
+                   out_specs=pspec)
+    return fn(params, tuple(jnp.asarray(m, jnp.float32) for m in motion))
+
+
+def build_spatial_frame_step(spar: SpatialFFT, sampler, clip_cfg, settings,
+                             optimizer, opt_steps: int, smooth: bool,
+                             contrast: float = 1.0):
+    """Spatial counterpart of parallel/step.py:build_frame_step (FFT mode,
+    no depth): ONE jitted program per video frame — sharded motion warp,
+    `opt_steps` sharded train steps, full-frame uint8 render.
+
+    Returns frame_fn(params_tmp, opt_state, prev_enc, clip_params,
+    aest_params, prompts, key, step_i, motion) -> (params_tmp, opt_state,
+    prev_enc, frame_u8, losses [opt_steps])."""
+    grad_fn = _spatial_grad_fn(spar, sampler, clip_cfg, settings)
+
+    def frame_fn(params_tmp, opt_state, prev_enc, clip_params, aest_params,
+                 prompts, key, step_i, motion):
+        gp = spatial_frame_warp(spar, params_tmp, motion)
+        os_ = opt_state if smooth else optimizer.init(gp)
+
+        def body(carry, s):
+            gp, os_, pe = carry
+            k = jax.random.fold_in(key, s)
+            (loss, out_enc), grads = grad_fn(gp, clip_params, aest_params,
+                                             prompts, pe, k, step_i)
+            updates, os_ = optimizer.update(grads, os_, gp)
+            gp = jax.tree_util.tree_map(lambda p, u: p + u, gp, updates)
+            return (gp, os_, out_enc), loss
+
+        (gp, os_, pe), losses = jax.lax.scan(
+            body, (gp, os_, prev_enc),
+            jnp.arange(opt_steps, dtype=jnp.int32))
+        img = spar.render(gp, contrast=contrast)
+        img = jnp.clip(img[0].transpose(1, 2, 0), 0.0, 1.0)
+        frame_u8 = (img * 255.0 + 0.5).astype(jnp.uint8)
+        return gp, os_, pe, frame_u8, losses
+
+    return jax.jit(frame_fn, donate_argnums=(0, 1, 2))
+
+
 def _spatial_grad_fn(spar: SpatialFFT, sampler, clip_cfg, settings):
     """value_and_grad of the sharded-canvas loss — shared by the per-step
     and the chunked-frames builders below."""
@@ -221,25 +324,47 @@ def _spatial_grad_fn(spar: SpatialFFT, sampler, clip_cfg, settings):
     with_sharp = settings.sharp != 0
     cuts_fn = spar.cut_fn(sampler, compute_dtype=settings.clip_dtype,
                           with_sharp=with_sharp)
+    data_sh = (NamedSharding(spar.mesh, P(spar.data_axis))
+               if spar.data_axis else None)
 
-    def encode_cuts(gen_params, clip_params, key):
+    def _noise_shift(key):
+        """Spectrum-shift noise (clip_fft.py:238) in the PADDED sharded
+        layout — the zero scale columns keep the pad inert, and the shift
+        tensor is exactly the spectrum-shaped tensor already sharded."""
+        if settings.noise <= 0:
+            return None
+        h, wf_p = spar.scale.shape[2], spar.scale.shape[3]
+        u = jax.random.uniform(key, (1, 1, h, wf_p, 1))
+        if settings.noise_centered:
+            u = u - 0.5
+        # [1,1,h,wf',1] broadcasts over channels and real/imag inside the
+        # shard (same semantics as the dense path's _noise_shift)
+        return jax.lax.with_sharding_constraint(
+            settings.noise * u, spectrum_sharding(spar.mesh))
+
+    def encode_cuts(gen_params, clip_params, key, shift):
         k_box, k_tf = jax.random.split(key)
         boxes = sampler.sample_boxes(k_box)
         wy, wx = sampler.weight_matrices(boxes)
         # the [S,M,H] row matrix is the one H-sized auxiliary: keep it
         # sharded like the image so 4K canvases never replicate it
         wy = jax.lax.with_sharding_constraint(wy, spar.wy_sharding())
-        out = cuts_fn(gen_params, wy, wx)
+        out = cuts_fn(gen_params, wy, wx, shift=shift)
         cuts, sharp = out if with_sharp else (out, None)
         cuts = transform(k_tf, cuts.astype(settings.clip_dtype))
+        if data_sh is not None:
+            cuts = jax.lax.with_sharding_constraint(cuts, data_sh)
         enc = encode_image(clip_params, clip_cfg, cuts,
                            dtype=settings.clip_dtype)
+        if data_sh is not None:
+            enc = jax.lax.with_sharding_constraint(enc, data_sh)
         return enc.astype(jnp.float32), sharp
 
     def loss_fn(gen_params, clip_params, aest_params, prompts, prev_enc,
                 key, step_i):
-        k1, k2 = jax.random.split(key)
-        out_enc, sharp = encode_cuts(gen_params, clip_params, k1)
+        k_noise, k1, k2 = jax.random.split(key, 3)
+        shift = _noise_shift(k_noise)
+        out_enc, sharp = encode_cuts(gen_params, clip_params, k1, shift)
         loss = jnp.float32(0.0)
         if with_sharp:
             loss = loss - settings.sharp * sharp
@@ -253,7 +378,9 @@ def _spatial_grad_fn(spar: SpatialFFT, sampler, clip_cfg, settings):
                                                   settings.sim)
             loss = loss + coeff * group
         if settings.enforce != 0:
-            enc2, _ = encode_cuts(gen_params, clip_params, k2)
+            # same decode shift as the first pass (dense path decodes the
+            # image once and slices it twice — step.py:96-98)
+            enc2, _ = encode_cuts(gen_params, clip_params, k2, shift)
             loss = loss - settings.enforce * sim_func(out_enc, enc2,
                                                       settings.sim)
         if settings.expand > 0:
@@ -293,25 +420,50 @@ def build_spatial_train_step(spar: SpatialFFT, sampler, clip_cfg, settings,
 
 def build_spatial_train_loop_frames(spar: SpatialFFT, sampler, clip_cfg,
                                     settings, optimizer, opt_step: int,
-                                    n_frames: int, contrast: float = 1.0):
+                                    n_frames: int, contrast: float = 1.0,
+                                    dual=None):
     """Chunked frame-group loop for the sharded canvas — the spatial
     counterpart of parallel/step.py:build_train_loop_frames (same cadence:
     step -> uint8 render -> opt_step-1 steps, `n_frames` groups per
     dispatch), amortizing the tunneled per-program overhead that costs
     ~20% of a 4K step.
 
+    `dual=(clip_cfg2, dm_every)` compiles BOTH towers into the scan body
+    (clip_fft.py:135 schedule, lax.cond-swapped — mirrors
+    step.py:build_train_loop_frames); the loop then takes three extra args
+    after `prompts`: (clip_params2, aest_params2, prompts2).
+
     Returns loop(gen_params, opt_state, prev_enc, clip_params, aest_params,
-    prompts, key, frame0) -> (gen_params, opt_state, prev_enc,
+    prompts, [*dual2,] key, frame0) -> (gen_params, opt_state, prev_enc,
     frames [n_frames,H,W,3] uint8, losses [n_frames*opt_step])."""
     grad_fn = _spatial_grad_fn(spar, sampler, clip_cfg, settings)
+    if dual is not None:
+        cfg2, dm_every = dual
+        grad_fn2 = _spatial_grad_fn(spar, sampler, cfg2, settings)
 
     def loop(gen_params, opt_state, prev_enc, clip_params, aest_params,
-             prompts, key, frame0):
+             prompts, *rest):
+        if dual is not None:
+            clip_params2, aest_params2, prompts2, key, frame0 = rest
+        else:
+            key, frame0 = rest
+
         def one_step(carry, gstep, fstep):
             gp, os_, pe = carry
             k = jax.random.fold_in(key, gstep)
-            (loss, out_enc), grads = grad_fn(gp, clip_params, aest_params,
-                                             prompts, pe, k, fstep)
+            if dual is None:
+                (loss, out_enc), grads = grad_fn(gp, clip_params,
+                                                 aest_params, prompts, pe,
+                                                 k, fstep)
+            else:
+                use2 = jnp.logical_and(gstep % dm_every == 0, gstep > 0)
+                (loss, out_enc), grads = jax.lax.cond(
+                    use2,
+                    lambda _: grad_fn2(gp, clip_params2, aest_params2,
+                                       prompts2, pe, k, fstep),
+                    lambda _: grad_fn(gp, clip_params, aest_params,
+                                      prompts, pe, k, fstep),
+                    None)
             updates, os_ = optimizer.update(grads, os_, gp)
             gp = jax.tree_util.tree_map(lambda p, u: p + u, gp, updates)
             return (gp, os_, out_enc), loss

@@ -142,10 +142,12 @@ def test_frame_step_matches_unfused(setup):
                                rtol=2e-4, atol=2e-5)
     assert np.abs(np.asarray(frame).astype(int)
                   - want_frame.astype(int)).max() <= 1
-    # fused vs separate programs reassociate fp ops; 1e-3 relative is the
-    # observed envelope on the spectrum params after 2 Adam steps
+    # fused vs separate programs reassociate fp ops; the envelope grew from
+    # 1e-3 to ~3.4e-3 when the aug warp gained the exact-homography 8x8
+    # fp32 solve (ops/perspective.py), whose LU reassociates across
+    # compilation contexts
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gp2),
-                               rtol=1e-3, atol=1e-5)
+                               rtol=6e-3, atol=1e-5)
 
 
 def test_frames_per_dispatch_divisor():
