@@ -116,6 +116,9 @@ def get_args(argv=None):
     parser.add_argument('--depth_weights', default=None)
     parser.add_argument('--precision', default='auto', choices=['auto', 'bf16', 'fp32'])
     parser.add_argument('--seed', default=0, type=int)
+    parser.add_argument('--spatial', default=0, type=int,
+                        help='Shard the canvas/spectrum over N devices '
+                             '(FFT mode; 4K+ video — reference README.md:17)')
     add_parallel_flags(parser)
     a = parser.parse_args(argv)
     if a.dualmod is not None and a.dualmod < 1:
@@ -297,7 +300,10 @@ def run(a):
         par = FFTParameterizer(tuple(a.size), 1.0, a.colors)  # sd=1 resume decode
     sampler = CutoutSampler(tuple(a.size), a.samples, a.modsize, a.align,
                             a.macro, use_pallas=a.pallas)
-    mesh = setup_mesh(a.mesh, (clip1, clip2), a.verbose)
+    # with --spatial the mesh is built below (make_mesh_spatial composes
+    # the data/model axes into the spatial mesh instead)
+    mesh = (None if a.spatial and a.spatial > 1
+            else setup_mesh(a.mesh, (clip1, clip2), a.verbose))
     optimizer = build_optimizer(a.optimizer, a.lrate)
     settings = StepSettings(
         sim=a.sim or 'cossim', sharp=a.sharp, sharp_mode='naiv', aest=a.aest,
@@ -309,14 +315,52 @@ def run(a):
     # as ONE jitted program (step.py:build_frame_step); with depth the
     # DA-V2 tower is its own compiled program, one extra dispatch per frame
     fused_depth = deptha is not None and a.depth > 0
-    frame_step1 = build_frame_step(
-        par, sampler, clip1.cfg, settings, optimizer, a.gen,
-        tuple(a.size), a.opt_step, a.smooth, a.contrast, deptha=deptha,
-        depth=a.depth, colors=a.colors, mesh=mesh)
-    frame_step2 = (build_frame_step(
-        par, sampler, clip2.cfg, settings, optimizer, a.gen,
-        tuple(a.size), a.opt_step, a.smooth, a.contrast, deptha=deptha,
-        depth=a.depth, colors=a.colors, mesh=mesh) if clip2 else None)
+    if a.spatial and a.spatial > 1:
+        # sharded 4K+ video (parallel/spatial.py:build_spatial_frame_step):
+        # spectrum + irfft2 + cutout contraction distributed; the per-frame
+        # motion warp gathers rows once, warps with the dense math, and
+        # re-shards (reference scale claim README.md:17)
+        if a.gen != 'FFT':
+            raise SystemExit('--spatial requires --gen FFT '
+                             '(the sharded state is the spectrum)')
+        if fused_depth:
+            raise SystemExit('--spatial does not support --depth yet '
+                             '(the DA-V2 grid warp needs the full frame)')
+        from aphantasia_tpu.parallel.mesh import (make_mesh_spatial,
+                                                  shard_clip_params)
+        from aphantasia_tpu.parallel.spatial import (SpatialFFT,
+                                                     build_spatial_frame_step)
+        import aphantasia_tpu.models.clip.model as clip_model
+        clip_model.FUSED_ATTN = False
+        smesh = make_mesh_spatial(a.spatial, a.mesh)
+        if "model" in smesh.axis_names and smesh.shape["model"] > 1:
+            for wdl in (clip1, clip2):
+                if wdl is not None:
+                    wdl.params = shard_clip_params(wdl.params, smesh)
+        if "data" in smesh.axis_names and a.samples % smesh.shape["data"]:
+            dp = smesh.shape["data"]
+            a.samples += dp - a.samples % dp
+            sampler = CutoutSampler(tuple(a.size), a.samples, a.modsize,
+                                    a.align, a.macro, use_pallas=a.pallas)
+        spar = SpatialFFT(tuple(a.size), 1.0, a.colors, smesh)
+        params_tmp = spar.shard(params_tmp)
+        frame_step1 = build_spatial_frame_step(
+            spar, sampler, clip1.cfg, settings, optimizer, a.opt_step,
+            a.smooth, a.contrast)
+        frame_step2 = (build_spatial_frame_step(
+            spar, sampler, clip2.cfg, settings, optimizer, a.opt_step,
+            a.smooth, a.contrast) if clip2 else None)
+        if a.verbose:
+            print(f' spatial mesh: {dict(smesh.shape)}')
+    else:
+        frame_step1 = build_frame_step(
+            par, sampler, clip1.cfg, settings, optimizer, a.gen,
+            tuple(a.size), a.opt_step, a.smooth, a.contrast, deptha=deptha,
+            depth=a.depth, colors=a.colors, mesh=mesh)
+        frame_step2 = (build_frame_step(
+            par, sampler, clip2.cfg, settings, optimizer, a.gen,
+            tuple(a.size), a.opt_step, a.smooth, a.contrast, deptha=deptha,
+            depth=a.depth, colors=a.colors, mesh=mesh) if clip2 else None)
     if fused_depth:
         preview_fn, depth_infer = build_depth_helpers(
             a.gen, tuple(a.size), deptha, a.colors)

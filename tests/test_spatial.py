@@ -280,3 +280,98 @@ def test_clip_fft_spatial_composed_cli(tmp_path):
            if os.path.isdir(os.path.join(out, d))][0]
     frames = [f for f in os.listdir(run) if f.endswith(".jpg")]
     assert len(frames) == 4
+
+
+def test_spatial_frame_warp_identity_roundtrip():
+    """spatial_frame_warp with identity motion must match the dense
+    round-trip (spectrum -> irfft2 -> frame_transform -> rfft2): the
+    rfft/irfft pair Hermitian-projects a random spectrum (DC/Nyquist
+    imaginary parts vanish), so the dense result is the parity target,
+    not the raw params."""
+    from aphantasia_tpu.parallel.spatial import (spatial_frame_warp,
+                                                 unpad_spectrum)
+    from aphantasia_tpu.params.fft import (spectrum_to_image,
+                                           image_to_spectrum)
+    from aphantasia_tpu.ops.warp import frame_transform
+    mesh = _mesh()
+    size = (64, 96)
+    spar = SpatialFFT(size, 1.0, 1.8, mesh)
+    par = FFTParameterizer(size, 1.0, 1.8)
+    params = par.init(jax.random.PRNGKey(0))
+    sharded = spar.shard(params)
+    motion = (0.0, 0.0, 0.0, 1.0, 0.0)
+    out = jax.jit(lambda p: spatial_frame_warp(spar, p, motion))(sharded)
+    out = unpad_spectrum(out, size[1])
+
+    img = spectrum_to_image(params, size)
+    img = frame_transform(img, size, 0.0, (0.0, 0.0), 1.0, 0.0)
+    dense = image_to_spectrum(img, size)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(dense),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_spatial_frame_step_matches_dense():
+    """build_spatial_frame_step == build_frame_step (FFT mode) on the
+    virtual mesh: same motion warp math (rows gathered once, dense
+    frame_transform), same sharded train steps, same render."""
+    from aphantasia_tpu.parallel.spatial import (build_spatial_frame_step,
+                                                 unpad_spectrum)
+    from aphantasia_tpu.parallel.step import StepSettings, build_frame_step
+    from aphantasia_tpu.ops.optim import build_optimizer
+    from tests.test_step import TINY_CLIP
+    from aphantasia_tpu.models.clip.model import clip_init, encode_text
+    from aphantasia_tpu.models.clip.tokenizer import tokenize
+
+    mesh = _mesh()
+    size = (64, 96)
+    spar = SpatialFFT(size, 1.0, 1.8, mesh)
+    par = FFTParameterizer(size, 1.0, 1.8)
+    sampler = CutoutSampler(size, 4, 32, align="uniform")
+    cp = clip_init(jax.random.PRNGKey(0), TINY_CLIP)
+    toks = np.clip(tokenize(["frame probe"], context_length=16), 0, 255)
+    prompts = ((encode_text(cp, TINY_CLIP, jnp.asarray(toks)),
+                jnp.ones((1,)), jnp.float32(-1.0)),)
+    settings = StepSettings(sim="cossim", transform="none", total_steps=4)
+    opt = build_optimizer("adam_custom", 0.05)
+    params = par.init(jax.random.PRNGKey(1))
+    pe0 = jnp.zeros((4, TINY_CLIP.embed_dim))
+    key = jax.random.PRNGKey(9)
+    motion = (jnp.float32(3.0), jnp.float32(1.0), jnp.float32(2.0),
+              jnp.float32(1.01), jnp.float32(0.5))
+
+    dense_fn = build_frame_step(par, sampler, TINY_CLIP, settings, opt,
+                                "FFT", size, 2, smooth=False, contrast=1.2)
+    # frame steps donate params/opt_state/prev_enc — give each call its own
+    gp_d, _, pe_d, frame_d, losses_d = dense_fn(
+        params, opt.init(params), jnp.array(pe0), cp, None, prompts, key,
+        jnp.int32(1), motion)
+
+    sp_fn = build_spatial_frame_step(spar, sampler, TINY_CLIP, settings,
+                                     opt, 2, smooth=False, contrast=1.2)
+    sharded = spar.shard(par.init(jax.random.PRNGKey(1)))
+    gp_s, _, pe_s, frame_s, losses_s = sp_fn(
+        sharded, opt.init(sharded), jnp.array(pe0), cp, None, prompts, key,
+        jnp.int32(1), motion)
+
+    np.testing.assert_allclose(np.asarray(losses_s), np.asarray(losses_d),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(unpad_spectrum(gp_s, size[1])), np.asarray(gp_d),
+        rtol=2e-3, atol=2e-5)
+    assert np.abs(np.asarray(frame_s).astype(int)
+                  - np.asarray(frame_d).astype(int)).max() <= 1
+
+
+def test_illustrip_spatial_cli(tmp_path):
+    """illustrip --spatial end-to-end on the virtual mesh: sharded frame
+    advance + sharded opt steps, frames written."""
+    import os
+    from aphantasia_tpu.cli.illustrip import main
+    out = str(tmp_path / "isp")
+    main(["-t", "test", "--size", "96-64", "--steps", "3", "--opt_step", "1",
+          "--samples", "3", "--gen", "FFT", "--out_dir", out, "-nv",
+          "--transform", "none", "--spatial", "4", "--fstep", "2"])
+    work = [os.path.join(out, d) for d in os.listdir(out)][0]
+    frames = [f for f in os.listdir(os.path.join(work, "ttt"))
+              if f.endswith(".jpg")]
+    assert len(frames) == 3
