@@ -56,7 +56,7 @@ def get_args(argv=None):
     # tweaks
     parser.add_argument('-opt', '--optimr', default='adam', choices=['adam', 'adamw'])
     parser.add_argument('-a',  '--align',   default='uniform', choices=['central', 'uniform', 'overscan', 'overmax'])
-    parser.add_argument('-tf', '--transform', default='fast', choices=['none', 'custom', 'fast', 'elastic'])
+    parser.add_argument('-tf', '--transform', default='fast', choices=['none', 'custom', 'fast', 'elastic', 'lucent', 'openai'])
     parser.add_argument('--aest',    default=1., type=float)
     parser.add_argument('--contrast', default=1.1, type=float)
     parser.add_argument('--colors',  default=1.8, type=float)

@@ -97,7 +97,7 @@ def get_args(argv=None):
     parser.add_argument('--depth_dir',   default=None)
     # tweaks
     parser.add_argument('-a',  '--align',   default='overscan', choices=['central', 'uniform', 'overscan', 'overmax'])
-    parser.add_argument('-tf', '--transform', default='fast', choices=['none', 'fast', 'custom', 'elastic'])
+    parser.add_argument('-tf', '--transform', default='fast', choices=['none', 'fast', 'custom', 'elastic', 'lucent', 'openai'])
     parser.add_argument('-opt', '--optimizer', default='adam_custom', choices=['adam', 'adam_custom', 'adamw', 'adamw_custom'])
     parser.add_argument('--fixcontrast', action='store_true')
     parser.add_argument('--contrast', default=1.2, type=float)

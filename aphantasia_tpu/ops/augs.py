@@ -151,17 +151,88 @@ def transforms_elastic(key, cuts):
     return clip_normalize(cuts)
 
 
+def _pad_affine(s, h, pad_px):
+    """Emulate constant-border pad(p) at fixed shape: centered scale-down
+    by h/(h+2p) (inverse map scales up), border filled by the warp."""
+    pad_scale = (h + 2.0 * pad_px) / h
+    return jnp.broadcast_to(jnp.concatenate(
+        [pad_scale * jnp.eye(2), jnp.zeros((2, 1))], 1), (s, 2, 3))
+
+
+def _scale_affine(key, s, scales):
+    """lucent random_scale(scales): per-sample centered content scale
+    (reference transforms.py:42-51 — bilinear upsample + pad)."""
+    idx = jax.random.randint(key, (s,), 0, len(scales))
+    sc = jnp.asarray(scales, jnp.float32)[idx]
+    a2 = jnp.eye(2)[None] / sc[:, None, None]   # src = dst / scale
+    return jnp.concatenate([a2, jnp.zeros((s, 2, 1))], -1)
+
+
+def transforms_lucent(key, cuts):
+    """Legacy Lucid pipeline: pad(12, gray) + jitter(8) +
+    random_scale(0.9..1.1 step .02) + rotate(±10°, 5x0) + jitter(4)
+    (reference transforms.py:118-124).
+
+    No reference entry point selects it (and there it is unusable as-is:
+    `pad` grows the tensor past CLIP's input size — latent-bug list,
+    SURVEY.md §4).  Here the stages compose into ONE per-sample affine
+    (per-sample draws, like the other pipelines; the reference draws once
+    per batch) with gray fill, and clip_normalize is appended so the
+    option actually feeds CLIP correctly."""
+    s, c, h, w = cuts.shape
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    scales = [1 + (i - 5) / 50.0 for i in range(11)]
+    aff = _compose(_pad_affine(s, h, 12),
+                   _compose(_jitter_affine(k1, s, 8),
+                            _compose(_scale_affine(k2, s, scales),
+                                     _compose(random_rotate_affine(
+                                         k3, s, np.asarray(
+                                             list(range(-10, 11)) + [0] * 5,
+                                             np.float32)),
+                                         _jitter_affine(k4, s, 4)))))
+    cuts = affine_warp(cuts, aff, pad=56, fill=0.5,
+                       compute_dtype=jnp.bfloat16)
+    return clip_normalize(cuts)
+
+
+def transforms_openai(key, cuts):
+    """Legacy OpenAI pipeline: pad(2, gray) + 10x jitter(4) +
+    rotate(-20..20 ∪ -10..10 ∪ -5..5 ∪ 5x0) + jitter(2) (reference
+    transforms.py:127-143).  Ten composed integer jitters == one
+    translation by the sum of ten independent draws; same fixed-shape
+    pad emulation and appended clip_normalize as transforms_lucent."""
+    s, c, h, w = cuts.shape
+    ks = jax.random.split(key, 12)
+    jit10 = jnp.sum(jnp.stack([
+        jax.random.randint(ks[i], (s, 2), 0, 4) for i in range(10)]),
+        axis=0).astype(jnp.float32)
+    a2 = jnp.broadcast_to(jnp.eye(2), (s, 2, 2))
+    jit10_aff = jnp.concatenate([a2, -jit10[:, :, None]], -1)
+    angles = np.asarray(list(range(-20, 20)) + list(range(-10, 10))
+                        + list(range(-5, 5)) + [0] * 5, np.float32)
+    aff = _compose(_pad_affine(s, h, 2),
+                   _compose(jit10_aff,
+                            _compose(random_rotate_affine(ks[10], s, angles),
+                                     _jitter_affine(ks[11], s, 2))))
+    cuts = affine_warp(cuts, aff, pad=56, fill=0.5,
+                       compute_dtype=jnp.bfloat16)
+    return clip_normalize(cuts)
+
+
 def normalize_only(key, cuts):
     del key
     return clip_normalize(cuts)
 
 
 def get_transform(name: str):
-    """'fast' | 'custom' | 'elastic' | 'none' -> fn(key, cuts)
-    (selection logic parity: clip_fft.py:161-171)."""
+    """'fast' | 'custom' | 'elastic' | 'lucent' | 'openai' | 'none' ->
+    fn(key, cuts) (selection logic parity: clip_fft.py:161-171; lucent/
+    openai are the reference's legacy pipelines, transforms.py:118-143)."""
     return {
         "fast": transforms_fast,
         "custom": transforms_custom,
         "elastic": transforms_elastic,
+        "lucent": transforms_lucent,
+        "openai": transforms_openai,
         "none": normalize_only,
     }[name]
