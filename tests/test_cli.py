@@ -93,3 +93,32 @@ def test_clip_fft_dualmod_tiny(tmp_path):
     frames = [f for f in os.listdir(os.path.join(out, run_dirs[0]))
               if f.endswith(".jpg")]
     assert len(frames) == 4
+
+
+def test_depth_cli(tmp_path):
+    """Standalone DA-V2 batch CLI (reference depth/any2/run.py, which
+    ships broken imports — run.py:9-11): file-or-folder input, grayscale-x3
+    uint8 PNGs at source resolution, full min-max range, shape-bucketed
+    batched inference."""
+    from imageio.v2 import imsave, imread
+    from aphantasia_tpu.cli.depth import main, infer_dims
+    rng = np.random.RandomState(0)
+    src = tmp_path / "in"
+    src.mkdir()
+    imsave(str(src / "a.png"), (rng.rand(80, 120, 3) * 255).astype(np.uint8))
+    imsave(str(src / "b.jpg"), (rng.rand(80, 120, 3) * 255).astype(np.uint8))
+    imsave(str(src / "c.png"), (rng.rand(60, 60, 3) * 255).astype(np.uint8))
+    out = tmp_path / "out"
+    main(["-i", str(src), "-o", str(out), "--encoder", "vits", "-sz", "70"])
+    names = sorted(os.listdir(out))
+    assert names == ["a.png", "b.png", "c.png"]
+    for n in names:
+        im = imread(str(out / n))
+        assert im.dtype == np.uint8 and im.shape[2] == 3
+        assert im.min() == 0 and im.max() >= 248   # min-max normalized
+        assert (im[:, :, 0] == im[:, :, 1]).all()  # grayscale x3
+    assert imread(str(out / "a.png")).shape == (80, 120, 3)
+    assert imread(str(out / "c.png")).shape == (60, 60, 3)
+    # inference dims contract: short side >= size, multiples of 14
+    h, w = infer_dims(80, 120, 70)
+    assert h % 14 == 0 and w % 14 == 0 and min(h, w) >= 70 - 7
