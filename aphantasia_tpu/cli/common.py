@@ -48,6 +48,25 @@ def apply_platform():
         pass
 
 
+_PROGRAM_CACHE: dict = {}
+
+
+def program_cache(key, builder):
+    """In-process memo for built+jitted program bundles.
+
+    A CLI `run()` builds fresh `jax.jit` wrappers every call, so a second
+    run in the same process (notebook cell re-run, bench warm pass, fleet
+    fan-out) pays the full Python retrace — ~7s for the fused illustrip
+    frame program — even though the XLA executable itself comes back from
+    the compilation cache.  Memoize the whole bundle keyed on every
+    config field that shapes the traced program; entries hold stateless
+    builders plus jitted callables (weights ride as call arguments), so
+    reuse across runs is safe."""
+    if key not in _PROGRAM_CACHE:
+        _PROGRAM_CACHE[key] = builder()
+    return _PROGRAM_CACHE[key]
+
+
 def parse_size(size_str):
     """'1280-720' -> [720, 1280] (reference clip_fft.py:80-81)."""
     size = [int(s) for s in size_str.split("-")][::-1]
