@@ -28,6 +28,29 @@ _ANCHOR_FALLBACK = 0.0147  # it/s, measured 2026-08-16 on the 1-core CI host
 _PEAK_FLOPS = 197e12
 
 
+def _vit_model_flops_per_step(cfg, samples: int) -> float:
+    """Analytic *model* FLOPs per optimization step: the CLIP vision tower
+    forward+backward only (bwd = 2x fwd matmul flops).  This is the
+    conventional MFU numerator — it excludes the decode/sampler/warp
+    machinery, whose matmul-DFT / dense-interpolation formulations
+    intentionally overcompute for MXU shape (those DO count in the
+    whole-program `mfu` number XLA reports).  VERDICT.md round-1
+    weak-item 4 asked for both.
+
+    The tower is FROZEN (no weight gradients — only activation grads
+    flow back to the image), so backward is ~1x forward matmul flops
+    (grad_x = grad_y @ W^T per matmul), not the 2x of training: total
+    = 2x forward."""
+    d, p, L = cfg.vision_width, cfg.vision_patch_size, cfg.vision_layers
+    g = cfg.image_resolution // p
+    t = g * g + 1
+    patchify = 2 * (g * g) * (3 * p * p) * d
+    per_layer = 24 * t * d * d + 4 * t * t * d   # qkv/out/mlp + scores/av
+    proj = 2 * d * cfg.embed_dim
+    fwd = patchify + L * per_layer + proj
+    return 2.0 * fwd * samples
+
+
 def _anchor_its() -> float:
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "baseline_anchor.json")
@@ -102,8 +125,11 @@ def main():
     dt = time.perf_counter() - t0
     its = steps * inner / dt
 
-    # MFU estimate: XLA's flop count for the compiled loop / wall time / peak
-    mfu = None
+    # Two MFU numbers (VERDICT r1 weak-4): `mfu_hw` uses XLA's whole-program
+    # flop count (hardware utilization — includes the dense-interpolation /
+    # matmul-DFT overcompute as "useful"), `mfu_model` uses the analytic
+    # CLIP-tower fwd+bwd count (conventional model-FLOP utilization).
+    mfu = mfu_model = None
     if on_tpu:
         try:
             compiled = loop.lower(gen_params, opt_state, prev_enc, clip_params,
@@ -115,6 +141,7 @@ def main():
             mfu = flops * its / _PEAK_FLOPS
         except Exception:
             pass
+        mfu_model = _vit_model_flops_per_step(cfg, samples) * its / _PEAK_FLOPS
 
     result = {
         "metric": "clip_fft iters/sec @1280x720, 200 samples, ViT-B/32"
@@ -129,7 +156,9 @@ def main():
         "baseline": f"{_anchor_its()} it/s (measured torch-CPU reference mirror)",
     }
     if mfu is not None:
-        result["mfu"] = round(mfu, 3)
+        result["mfu"] = round(mfu, 3)          # hardware (XLA whole-program)
+    if mfu_model is not None:
+        result["mfu_model"] = round(mfu_model, 3)  # CLIP tower fwd+bwd only
     print(json.dumps(result))
 
 
