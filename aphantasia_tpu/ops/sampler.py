@@ -25,6 +25,8 @@ from __future__ import annotations
 import dataclasses
 from typing import NamedTuple
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -32,6 +34,44 @@ from jax import lax
 
 from aphantasia_tpu.ops.resize import resize_axis_taps
 from aphantasia_tpu.ops.tile import pad_maps
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _contract(img, wy, wx, dt_name):
+    """cuts[s,c,m,n] = wy[s,m,h] . img[c,h,w] . wx[s,n,w] with BOTH the
+    forward intermediate and the backward cotangent chain held in the
+    compute dtype.
+
+    Without this, autodiff's transpose re-runs the contractions with the
+    f32 cotangent against bf16 weight matrices — a mixed-precision dot
+    XLA executes off the bf16 MXU path — and materializes the [S,C,M,W]
+    intermediate in f32 (~690MB at the headline config; measured ~3ms of
+    pure HBM/matmul waste per step).  The matrices are constant w.r.t.
+    the image (sampler taps come from the PRNG), so the VJP is just the
+    two transposed contractions."""
+    dt = jnp.dtype(dt_name)
+    tmp = jnp.einsum("smh,chw->scmw", wy, img.astype(dt),
+                     preferred_element_type=dt)
+    return jnp.einsum("scmw,snw->scmn", tmp, wx,
+                      preferred_element_type=jnp.float32)
+
+
+def _contract_fwd(img, wy, wx, dt_name):
+    return _contract(img, wy, wx, dt_name), (wy, wx)
+
+
+def _contract_bwd(dt_name, res, g):
+    wy, wx = res
+    dt = jnp.dtype(dt_name)
+    d_tmp = jnp.einsum("scmn,snw->scmw", g.astype(dt), wx,
+                       preferred_element_type=dt)
+    d_img = jnp.einsum("smh,scmw->chw", wy, d_tmp,
+                       preferred_element_type=jnp.float32)
+    # wy/wx carry no gradient path (PRNG-derived); zeros are DCE'd
+    return d_img, jnp.zeros_like(wy), jnp.zeros_like(wx)
+
+
+_contract.defvjp(_contract_fwd, _contract_bwd)
 
 
 class Boxes(NamedTuple):
@@ -156,14 +196,11 @@ class CutoutSampler:
             return pallas_cut(self, img, boxes)
         dt = compute_dtype or jnp.float32
         wy, wx = self.weight_matrices(boxes, dtype=dt)
-        imgc = img.astype(dt)
 
         def chunk_fn(args):
             wy_c, wx_c = args
-            tmp = jnp.einsum("smh,chw->scmw", wy_c.astype(dt), imgc,
-                             preferred_element_type=jnp.float32)
-            return jnp.einsum("scmw,snw->scmn", tmp.astype(dt), wx_c.astype(dt),
-                              preferred_element_type=jnp.float32)
+            return _contract(img, wy_c.astype(dt), wx_c.astype(dt),
+                             jnp.dtype(dt).name)
 
         if self.chunk and self.count > self.chunk:
             b = self.chunk

@@ -213,22 +213,112 @@ def ldu_decompose(a2: jnp.ndarray):
     return l, d1, d2, u
 
 
+def _phase_mul(fr, fi, c, s):
+    """(fr + i fi) * (c + i s) — the per-frequency rotation both fused-warp
+    passes use; the adjoint is the same op at (c, -s)."""
+    return fr * c - fi * s, fr * s + fi * c
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _fused_warp(x, my2, mx2, cy, sy, cx, sx, geom, dt_name):
+    """The 4-matmul fused LDU warp core (see affine_warp): analysis_H ->
+    y-phase -> [synth_H x scale_H] -> [scale_W x analysis_W] -> x-phase ->
+    windowed synth_W.  Linear in x; all per-sample matrices/phases are
+    PRNG-derived constants, so the VJP is the transposed chain with
+    conjugate phases, reusing the saved matrices — no autodiff residuals
+    beyond them."""
+    out, _ = _fused_warp_impl(x, my2, mx2, cy, sy, cx, sx, geom, dt_name)
+    return out
+
+
+def _fused_warp_impl(x, my2, mx2, cy, sy, cx, sx, geom, dt_name):
+    h, w, pad = geom
+    dt = jnp.dtype(dt_name)
+    nfh = (h + 2 * pad) // 2 + 1
+    nfw = (w + 2 * pad) // 2 + 1
+    a_h, _ = _dft_mats_packed_jnp(h + 2 * pad, dt_name)
+    a_h = a_h[pad:pad + h]                                         # [H,2nfh]
+    _, s_w = _dft_mats_packed_jnp(w + 2 * pad, dt_name)
+    s_w = s_w[:, pad:pad + w]                                      # [2nfw,W]
+
+    f = jnp.einsum("hk,schw->sckw", a_h, x.astype(dt),
+                   preferred_element_type=dt)                      # [S,C,2nfh,W]
+    gr, gi = _phase_mul(f[:, :, :nfh], f[:, :, nfh:],
+                        cy[:, None], sy[:, None])
+    g = jnp.concatenate([gr, gi], axis=2).astype(dt)
+    x2 = jnp.einsum("sko,sckw->scow", my2, g,
+                    preferred_element_type=dt)                     # [S,C,H,W]
+    f2 = jnp.einsum("swk,scow->scok", mx2, x2,
+                    preferred_element_type=dt)                     # [S,C,H,2nfw]
+    g2r, g2i = _phase_mul(f2[..., :nfw], f2[..., nfw:],
+                          cx[:, None], sx[:, None])
+    g2 = jnp.concatenate([g2r, g2i], axis=-1).astype(dt)
+    out = jnp.einsum("scok,kn->scon", g2, s_w,
+                     preferred_element_type=jnp.float32)           # [S,C,H,W]
+    return out, (a_h, s_w, nfh, nfw)
+
+
+def _fused_warp_fwd(x, my2, mx2, cy, sy, cx, sx, geom, dt_name):
+    out, _ = _fused_warp_impl(x, my2, mx2, cy, sy, cx, sx, geom, dt_name)
+    return out, (my2, mx2, cy, sy, cx, sx)
+
+
+def _fused_warp_bwd(geom, dt_name, res, dout):
+    my2, mx2, cy, sy, cx, sx = res
+    h, w, pad = geom
+    dt = jnp.dtype(dt_name)
+    nfh = (h + 2 * pad) // 2 + 1
+    nfw = (w + 2 * pad) // 2 + 1
+    a_h, _ = _dft_mats_packed_jnp(h + 2 * pad, dt_name)
+    a_h = a_h[pad:pad + h]
+    _, s_w = _dft_mats_packed_jnp(w + 2 * pad, dt_name)
+    s_w = s_w[:, pad:pad + w]
+
+    dg2 = jnp.einsum("scon,kn->scok", dout.astype(dt), s_w,
+                     preferred_element_type=dt)
+    dfr, dfi = _phase_mul(dg2[..., :nfw], dg2[..., nfw:],
+                          cx[:, None], -sx[:, None])
+    df2 = jnp.concatenate([dfr, dfi], axis=-1).astype(dt)
+    dx2 = jnp.einsum("swk,scok->scow", mx2, df2,
+                     preferred_element_type=dt)
+    dg = jnp.einsum("sko,scow->sckw", my2, dx2,
+                    preferred_element_type=dt)
+    dgr, dgi = _phase_mul(dg[:, :, :nfh], dg[:, :, nfh:],
+                          cy[:, None], -sy[:, None])
+    df = jnp.concatenate([dgr, dgi], axis=2).astype(dt)
+    dx = jnp.einsum("hk,sckw->schw", a_h, df,
+                    preferred_element_type=jnp.float32)
+    z = lambda a: jnp.zeros_like(a)   # PRNG-derived constants; DCE'd  # noqa: E731
+    return dx, z(my2), z(mx2), z(cy), z(sy), z(cx), z(sx)
+
+
+_fused_warp.defvjp(_fused_warp_fwd, _fused_warp_bwd)
+
+
 def affine_warp(cuts: jnp.ndarray, affines: jnp.ndarray, pad: int = 64,
                 fill: float = 0.0, compute_dtype=None) -> jnp.ndarray:
     """Per-sample affine warp of [S,C,H,W] by inverse maps [S,2,3]
     (src_centered = A2 @ dst_centered + t), gather-free.
 
-    With A2 = L D U, out(x) = in(L D U x + t) is computed as the pass chain
+    With A2 = L D U, out(x) = in(L D U x + t) is the pass chain
       g1 = warp_L in ;  g2(y) = g1(D y + L^-1 t) ;  out(x) = g2(U x)
-    i.e. L first (per-column y-shift), then D (two per-sample scale matmuls
-    whose offsets absorb the full translation L^-1 t), then U (per-row
+    i.e. L (per-column y-shift via DFT phase), D (two per-sample scale
+    matmuls whose offsets absorb the full translation L^-1 t), U (per-row
     x-shift) — only 2 FFT shift passes total.
+
+    Fused execution: the L synthesis and the D y-scale collapse into ONE
+    per-sample matrix  My2 = synth_Hp . my^T  (freq -> output rows), and
+    the D x-scale and the U analysis into  Mx2 = mx^T . anal_Wp  (input
+    cols -> freq) — exact linear algebra, 4 big matmuls instead of 6, and
+    the two [S,C,>=Hp,W]-sized f32 pass intermediates never exist (they
+    were the warp's dominant HBM traffic).  Forming My2/Mx2 costs
+    S.2nf.(H.Hp + W.Wp) MACs — a fraction of the applies they eliminate.
     """
     s, c, h, w = cuts.shape
     dt = compute_dtype or jnp.float32
-    if fill != 0.0:
-        cuts = cuts - fill
+    dt_name = jnp.dtype(dt).name
     hp, wp = h + 2 * pad, w + 2 * pad
+    nfh, nfw = hp // 2 + 1, wp // 2 + 1
 
     a2 = affines[:, :, :2]
     t = affines[:, :, 2]
@@ -239,35 +329,32 @@ def affine_warp(cuts: jnp.ndarray, affines: jnp.ndarray, pad: int = 64,
     xs = jnp.arange(w, dtype=jnp.float32) - (w - 1) / 2.0          # [W]
     ys = jnp.arange(h, dtype=jnp.float32) - (h - 1) / 2.0          # [H]
 
-    # Rectangular plan: the y pad exists only as the L shift's logical DFT
-    # length — the input stays unpadded (windowed analysis: zero rows
-    # contribute nothing), x stays unpadded through L and D (the D
-    # x-matrix's dropped out-of-range taps ARE the zero pad), D emits just
-    # the crop rows but the full padded x range (the U shift's wrap
-    # margin), and U synthesizes only the final crop columns.  Each pass
-    # touches ~2/3 or less of the naive both-axes-padded pipeline's area.
-
-    # --- L pass: src_y = y + l*x  =>  shift = -(l*x) per column ------------
+    # L pass phases: src_y = y + l*x  =>  shift = -(l*x) per column
     shift_y = -(l[:, None] * xs[None, :])                          # [S,W]
-    x = fractional_shift(cuts, shift_y[:, None, :], axis=-2, compute_dtype=dt,
-                         n_total=hp, in_offset=pad)               # [S,C,Hp,W]
+    ky = jnp.arange(nfh, dtype=jnp.float32)
+    phi_y = -2.0 * np.pi * ky[None, :, None] * shift_y[:, None, :] / hp
+    cy, sy = jnp.cos(phi_y).astype(dt), jnp.sin(phi_y).astype(dt)  # [S,nfh,W]
 
-    # --- D pass with translation L^-1 t = (tx, ty - l*tx) as offsets -------
-    off_x = t[:, 0]
-    off_y = t[:, 1] - l * t[:, 0]
-    my = scale_matrix_1d(d2, off_y, h, dtype=dt, n_in=hp,
+    # D pass matrices with translation L^-1 t = (tx, ty - l*tx) as offsets
+    my = scale_matrix_1d(d2, t[:, 1] - l * t[:, 0], h, dtype=dt, n_in=hp,
                          dst0=pad)                                 # [S,H,Hp]
-    mx = scale_matrix_1d(d1, off_x, wp, dtype=dt, n_in=w,
+    mx = scale_matrix_1d(d1, t[:, 0], wp, dtype=dt, n_in=w,
                          src0=pad)                                 # [S,Wp,W]
-    x = jnp.einsum("soh,schw->scow", my, x.astype(dt),
-                   preferred_element_type=jnp.float32)             # [S,C,H,W]
-    x = jnp.einsum("sow,schw->scho", mx, x.astype(dt),
-                   preferred_element_type=jnp.float32)             # [S,C,H,Wp]
+    _, synth_h = _dft_mats_packed_jnp(hp, dt_name)                 # [2nfh,Hp]
+    a_w, _ = _dft_mats_packed_jnp(wp, dt_name)                     # [Wp,2nfw]
+    my2 = jnp.einsum("kh,soh->sko", synth_h, my,
+                     preferred_element_type=dt)                    # [S,2nfh,H]
+    mx2 = jnp.einsum("svw,vk->swk", mx, a_w,
+                     preferred_element_type=dt)                    # [S,W,2nfw]
 
-    # --- U pass: x-shift per row: src_x = x + u*y  =>  shift = -(u*y) ------
+    # U pass phases: src_x = x + u*y  =>  shift = -(u*y) per row
     shift_x = -(u[:, None] * ys[None, :])                          # [S,H]
-    out = fractional_shift(x, shift_x[:, None, :], axis=-1, compute_dtype=dt,
-                           n_total=wp, out_window=(pad, w))       # [S,C,H,W]
+    kx = jnp.arange(nfw, dtype=jnp.float32)
+    phi_x = -2.0 * np.pi * kx[None, None, :] * shift_x[:, :, None] / wp
+    cx, sx = jnp.cos(phi_x).astype(dt), jnp.sin(phi_x).astype(dt)  # [S,H,nfw]
+
+    x = cuts - fill if fill != 0.0 else cuts
+    out = _fused_warp(x, my2, mx2, cy, sy, cx, sx, (h, w, pad), dt_name)
     if fill != 0.0:
         out = out + fill
     return out.astype(cuts.dtype)
