@@ -145,13 +145,14 @@ def test_frame_step_matches_unfused(setup):
     # fused vs separate programs reassociate fp ops, and adam_custom's
     # beta1=0 turns tiny-gradient fp noise into near-sign-flip updates on
     # low-magnitude spectrum coordinates — the envelope is ABSOLUTE
-    # (~5e-3, grew when the aug warp gained the exact-homography fp32
-    # solve whose LU reassociates across compilation contexts).  The
-    # semantic parity checks are the losses above (step-2 loss is
-    # computed after the step-1 update, so params agree functionally)
-    # and the <=1 gray-level frame bound.
+    # (~5e-3, grew with the exact-homography fp32 LU solve and again with
+    # the bf16 custom-VJP cutout/warp chains, whose remat order differs
+    # between the fused and unfused programs).  The semantic parity
+    # checks are the losses above (step-2 loss is computed after the
+    # step-1 update, so params agree functionally) and the <=1
+    # gray-level frame bound.
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gp2),
-                               rtol=6e-3, atol=1.2e-2)
+                               rtol=6e-3, atol=2.5e-2)
 
 
 def test_frames_per_dispatch_divisor():
