@@ -227,17 +227,16 @@ def run(a):
         clip_dtype=dtype)
     spar = None
     if a.spatial and a.spatial > 1:
-        # spatially-sharded canvas (parallel/spatial.py): params + irfft2 +
+        # spatially-sharded canvas (parallel/spatial.py): params + decode +
         # cutout contraction distributed.  Composes with --noise (the shift
-        # is spectrum-shaped — the tensor already sharded), --dualmod (both
-        # towers in the scan body) and --mesh (cutouts over 'data', CLIP
-        # weights over 'model').  --dwt needs halo-exchange DWT and --sync
-        # needs the full frame for LPIPS; both stay out of scope here.
-        bad = [f for f, on in [('--dwt', a.dwt), ('--sync', a.sync > 0)]
-               if on]
-        if bad:
-            raise SystemExit(f"--spatial is incompatible with {bad} "
-                             "(FFT mode; LPIPS sync needs the full frame)")
+        # is spectrum-shaped — the tensor already sharded), --dwt
+        # (halo-exchange inverse DWT, parallel/spatial_dwt.py), --dualmod
+        # (both towers in the scan body) and --mesh (cutouts over 'data',
+        # CLIP weights over 'model').  --sync needs the full frame for
+        # LPIPS and stays out of scope here.
+        if a.sync > 0:
+            raise SystemExit("--spatial is incompatible with --sync "
+                             "(LPIPS sync needs the full frame)")
         from aphantasia_tpu.parallel.mesh import (make_mesh_spatial,
                                                   shard_clip_params)
         from aphantasia_tpu.parallel.spatial import (SpatialFFT,
@@ -258,7 +257,11 @@ def run(a):
                 print(f' samples rounded up to {a.samples} (data mesh {dp})')
             sampler = CutoutSampler(tuple(a.size), a.samples, a.modsize,
                                     a.align, a.macro, use_pallas=a.pallas)
-        spar = SpatialFFT(tuple(a.size), a.decay, a.colors, smesh)
+        if a.dwt:
+            from aphantasia_tpu.parallel.spatial_dwt import SpatialDWT
+            spar = SpatialDWT(tuple(a.size), a.wave, 0.3, a.colors, smesh)
+        else:
+            spar = SpatialFFT(tuple(a.size), a.decay, a.colors, smesh)
         gen_params = spar.shard(gen_params)
         step1 = build_spatial_train_step(spar, sampler, clip1.cfg, settings,
                                          optimizer)
@@ -392,9 +395,8 @@ def run(a):
         shutil.copy(frames[-1],
                     os.path.join(a.out_dir, '%s-%d.jpg' % (out_name, a.steps)))
     if a.save_pt:
-        if spar is not None:   # drop the spatial pad -> canonical Wf layout
-            from aphantasia_tpu.parallel.spatial import unpad_spectrum
-            gen_params = unpad_spectrum(gen_params, a.size[1])
+        if spar is not None:   # drop the spatial pad -> canonical layout
+            gen_params = spar.unpad(gen_params)
         # params LIST for byte-parity with the reference (clip_fft.py:315)
         obj = ([np.asarray(gen_params)] if not a.dwt
                else [np.asarray(p) for p in gen_params])

@@ -75,7 +75,150 @@ def _padded_scale(h: int, w: int, decay: float, n_shards: int) -> np.ndarray:
     return scale
 
 
-class SpatialFFT:
+class SpatialCanvas:
+    """Base of the spatially-sharded parameterizers (SpatialFFT here,
+    SpatialDWT in parallel/spatial_dwt.py): the image lives H-sharded as
+    `h_container // n` rows per shard (h_container == H for FFT; DWT pads),
+    and the cutout contraction / sharpness / render machinery below is
+    shared.  Subclasses provide the param pytree specs and the local
+    decode."""
+
+    # populated by subclass __init__: size, colors, mesh, n, data_axis,
+    # h_container
+    size: tuple
+    colors: float
+    mesh: Mesh
+    n: int
+    data_axis: str | None
+    h_container: int
+
+    # ---- subclass hooks ----------------------------------------------------
+
+    def param_specs(self):
+        """PartitionSpec pytree matching the params pytree."""
+        raise NotImplementedError
+
+    def aux_specs(self):
+        """PartitionSpec pytree for the decode-aux pytree (scale/shift...)."""
+        raise NotImplementedError
+
+    def _make_aux(self, shift):
+        """Decode-aux pytree for a call (shift may be None)."""
+        raise NotImplementedError
+
+    def _decode_local(self, params_loc, aux_loc):
+        """Per-shard decode -> contrast-normalized image rows
+        [1, 3, h_container/n, W] (zeros on pad rows, if any)."""
+        raise NotImplementedError
+
+    def noise_shift(self, key, settings):
+        """Per-step decode noise (clip_fft.py:238) in this parameterizer's
+        sharded layout, or None when decode has no noise input."""
+        raise NotImplementedError
+
+    def unpad(self, params):
+        """Canonical (reference-layout) params for .pt snapshots."""
+        raise NotImplementedError
+
+    # ---- shared machinery ---------------------------------------------------
+
+    def pad_wy(self, wy):
+        """[S,M,H] row-weight matrices padded to the image container height
+        (zero rows — the container's pad rows are zero too, so the
+        contraction is exact)."""
+        if wy.shape[-1] == self.h_container:
+            return wy
+        return jnp.pad(wy, ((0, 0), (0, 0),
+                            (0, self.h_container - wy.shape[-1])))
+
+    def _sharp_local(self, img):
+        """'naiv' sharpness (ops/losses.derivat semantics) of the H-sharded
+        image [1,3,hc/n,W]: x-diffs are row-local; the y boundary pair uses
+        a one-row halo exchange (ppermute of each shard's first row to its
+        upper neighbor); pairs that touch container pad rows (and the wrap
+        pair) are masked out."""
+        h, w = self.size
+        n = self.n
+        hloc = self.h_container // n
+        dx_sum = jnp.sum(jnp.abs(img[:, :, :, 1:] - img[:, :, :, :-1]))
+        idx = jax.lax.axis_index("spatial")
+        if self.h_container == h:
+            dy_sum = jnp.sum(jnp.abs(img[:, :, 1:, :] - img[:, :, :-1, :]))
+        else:
+            # pad rows hold zeros pre-RGB -> a constant after to_valid_rgb:
+            # x-diffs there are 0, but the real/pad boundary y-pair is not —
+            # keep only pairs whose LOWER row is a real row (global t+1 < h)
+            row1 = idx * hloc + 1 + jnp.arange(hloc - 1)
+            dy = jnp.abs(img[:, :, 1:, :] - img[:, :, :-1, :])
+            dy_sum = jnp.sum(dy * (row1 < h)[None, None, :, None])
+        if n > 1:
+            perm = [(i, (i - 1) % n) for i in range(n)]
+            halo = jax.lax.ppermute(img[:, :, :1, :], "spatial", perm)
+            border = jnp.sum(jnp.abs(halo - img[:, :, -1:, :]))
+            ok = jnp.logical_and(idx < n - 1, (idx + 1) * hloc < h)
+            dy_sum = dy_sum + jnp.where(ok, border, 0.0)
+        dx = jax.lax.psum(dx_sum, "spatial") / (3 * h * (w - 1))
+        dy = jax.lax.psum(dy_sum, "spatial") / (3 * (h - 1) * w)
+        return 0.5 * (dx + dy)
+
+    def cut_fn(self, sampler, compute_dtype=None, with_sharp=False):
+        """Returns cuts(params, wy, wx, shift=None, contrast=1.0) ->
+        [S,C,M,M] (replicated over 'spatial') — or (cuts, sharp) with
+        `with_sharp` ('naiv' sharpness over the sharded image, one-row halo
+        exchange for the shard-boundary y diffs).  wy [S,M,H] arrives
+        H-sharded, wx is replicated; `sampler` supplies static config."""
+        dt = compute_dtype or jnp.float32
+        da = self.data_axis     # cutout batch axis sharding (or None)
+
+        def _local(params_loc, aux_loc, wy_loc, wx, contrast):
+            img = self._decode_local(params_loc, aux_loc)
+            img = to_valid_rgb(img * contrast, colors=self.colors)  # [1,3,hc/n,W]
+            # contract W locally, then the local H rows, psum cut-sized only
+            tmp = jnp.einsum("chw,snw->schn", img[0].astype(dt), wx.astype(dt),
+                             preferred_element_type=jnp.float32)   # [S,C,hc/n,M]
+            part = jnp.einsum("smh,schn->scmn", wy_loc.astype(dt),
+                              tmp.astype(dt),
+                              preferred_element_type=jnp.float32)
+            cuts = jax.lax.psum(part, "spatial")
+            if with_sharp:
+                return cuts, self._sharp_local(img)
+            return cuts
+
+        cuts_spec = P(da)
+        fn = shard_map(
+            _local, mesh=self.mesh,
+            in_specs=(self.param_specs(), self.aux_specs(),
+                      P(da, None, "spatial"), P(da), P()),
+            out_specs=(cuts_spec, P()) if with_sharp else cuts_spec,
+        )
+
+        def cuts(params, wy, wx, shift=None, contrast=1.0):
+            return fn(params, self._make_aux(shift), self.pad_wy(wy), wx,
+                      jnp.asarray(contrast, jnp.float32))
+
+        return cuts
+
+    def wy_sharding(self):
+        return NamedSharding(self.mesh, P(self.data_axis, None, "spatial"))
+
+    def render(self, params, contrast: float = 1.0):
+        """Full-image render (H-sharded internally, gathered at the end —
+        only for frame output, never inside the training step)."""
+
+        def _local(params_loc, aux_loc):
+            img = self._decode_local(params_loc, aux_loc)
+            return to_valid_rgb(img * contrast, colors=self.colors)
+
+        fn = shard_map(_local, mesh=self.mesh,
+                       in_specs=(self.param_specs(), self.aux_specs()),
+                       out_specs=P(None, None, "spatial", None),
+                       )
+        out = fn(params, self._make_aux(None))
+        h = self.size[0]
+        return out[:, :, :h] if self.h_container != h else out
+
+
+class SpatialFFT(SpatialCanvas):
     """FFT parameterizer decode + cutout, distributed over mesh['spatial'].
 
     Use `init(key)` / `shard(params)` to get spectrum params living
@@ -99,6 +242,7 @@ class SpatialFFT:
         h, w = self.size
         if h % self.n:
             raise ValueError(f"H={h} must divide the spatial axis ({self.n})")
+        self.h_container = h
         self.scale = _padded_scale(h, w, decay_power, self.n)
 
     # ---- params -----------------------------------------------------------
@@ -116,15 +260,43 @@ class SpatialFFT:
         params = pad_spectrum(params, self.n)
         return jax.device_put(params, spectrum_sharding(self.mesh))
 
-    # ---- distributed decode + cut ------------------------------------------
+    def unpad(self, params):
+        return unpad_spectrum(params, self.size[1])
 
-    def _decode_local(self, params_loc, scale_loc, shift_loc):
+    # ---- decode -------------------------------------------------------------
+
+    def param_specs(self):
+        return P(None, None, None, "spatial", None)
+
+    def aux_specs(self):
+        pspec = P(None, None, None, "spatial", None)
+        return (pspec, pspec)
+
+    def _make_aux(self, shift):
+        wf_p = self.scale.shape[3]
+        if shift is None:
+            shift = jnp.zeros((1, 1, self.size[0], wf_p, 1), jnp.float32)
+        return (jnp.asarray(self.scale), shift)
+
+    def noise_shift(self, key, settings):
+        """Spectrum-shift noise (clip_fft.py:238) in the PADDED sharded
+        layout — the zero scale columns keep the pad inert, and the shift
+        tensor is exactly the spectrum-shaped tensor already sharded."""
+        h, wf_p = self.scale.shape[2], self.scale.shape[3]
+        u = jax.random.uniform(key, (1, 1, h, wf_p, 1))
+        if settings.noise_centered:
+            u = u - 0.5
+        # [1,1,h,wf',1] broadcasts over channels and real/imag inside the
+        # shard (same semantics as the dense path's _noise_shift)
+        return jax.lax.with_sharding_constraint(
+            settings.noise * u, spectrum_sharding(self.mesh))
+
+    def _decode_local(self, params_loc, aux_loc):
         """Per-shard: scaled spectrum [.., Wf'/n, 2] -> image rows
         [1, 3, H/n, W] (H-sharded after the all_to_all transpose)."""
+        scale_loc, shift_loc = aux_loc
         h, w = self.size
-        scaled = scale_loc * params_loc
-        if shift_loc is not None:
-            scaled = scaled + scale_loc * shift_loc
+        scaled = scale_loc * (params_loc + shift_loc)
         spec = jax.lax.complex(scaled[..., 0], scaled[..., 1])
         spec = jnp.fft.ifft(spec, axis=2, norm="ortho")           # local: full H
         # FFT transpose: Wf-sharded -> H-sharded, over ICI
@@ -139,84 +311,6 @@ class SpatialFFT:
         cnt = 3 * h * w
         var = (s2 - s1 * s1 / cnt) / (cnt - 1)
         return img * jax.lax.rsqrt(var + 1e-20)
-
-    def _sharp_local(self, img):
-        """'naiv' sharpness (ops/losses.derivat semantics) of the H-sharded
-        image [1,3,h/n,W]: x-diffs are row-local; the y boundary pair uses a
-        one-row halo exchange (ppermute of each shard's first row to its
-        upper neighbor; the wrap pair is masked out)."""
-        h, w = self.size
-        n = self.n
-        dx_sum = jnp.sum(jnp.abs(img[:, :, :, 1:] - img[:, :, :, :-1]))
-        dy_sum = jnp.sum(jnp.abs(img[:, :, 1:, :] - img[:, :, :-1, :]))
-        if n > 1:
-            perm = [(i, (i - 1) % n) for i in range(n)]
-            halo = jax.lax.ppermute(img[:, :, :1, :], "spatial", perm)
-            idx = jax.lax.axis_index("spatial")
-            border = jnp.sum(jnp.abs(halo - img[:, :, -1:, :]))
-            dy_sum = dy_sum + jnp.where(idx < n - 1, border, 0.0)
-        dx = jax.lax.psum(dx_sum, "spatial") / (3 * h * (w - 1))
-        dy = jax.lax.psum(dy_sum, "spatial") / (3 * (h - 1) * w)
-        return 0.5 * (dx + dy)
-
-    def cut_fn(self, sampler, compute_dtype=None, with_sharp=False):
-        """Returns cuts(params, wy, wx, shift=None, contrast=1.0) ->
-        [S,C,M,M] (replicated over 'spatial') — or (cuts, sharp) with
-        `with_sharp` ('naiv' sharpness over the sharded image, one-row halo
-        exchange for the shard-boundary y diffs).  wy [S,M,H] arrives
-        H-sharded, wx is replicated; `sampler` supplies static config."""
-        dt = compute_dtype or jnp.float32
-        pspec = P(None, None, None, "spatial", None)
-        da = self.data_axis     # cutout batch axis sharding (or None)
-
-        def _local(params_loc, scale_loc, wy_loc, wx, shift_loc, contrast):
-            img = self._decode_local(params_loc, scale_loc, shift_loc)
-            img = to_valid_rgb(img * contrast, colors=self.colors)  # [1,3,h/n,W]
-            # contract W locally, then the local H rows, psum cut-sized only
-            tmp = jnp.einsum("chw,snw->schn", img[0].astype(dt), wx.astype(dt),
-                             preferred_element_type=jnp.float32)   # [S,C,h/n,M]
-            part = jnp.einsum("smh,schn->scmn", wy_loc.astype(dt),
-                              tmp.astype(dt),
-                              preferred_element_type=jnp.float32)
-            cuts = jax.lax.psum(part, "spatial")
-            if with_sharp:
-                return cuts, self._sharp_local(img)
-            return cuts
-
-        cuts_spec = P(da)
-        fn = shard_map(
-            _local, mesh=self.mesh,
-            in_specs=(pspec, pspec, P(da, None, "spatial"), P(da), pspec,
-                      P()),
-            out_specs=(cuts_spec, P()) if with_sharp else cuts_spec,
-        )
-
-        def cuts(params, wy, wx, shift=None, contrast=1.0):
-            scale = jnp.asarray(self.scale)
-            if shift is None:
-                shift = jnp.zeros_like(params)
-            return fn(params, scale, wy, wx, shift,
-                      jnp.asarray(contrast, jnp.float32))
-
-        return cuts
-
-    def wy_sharding(self):
-        return NamedSharding(self.mesh, P(self.data_axis, None, "spatial"))
-
-    def render(self, params, contrast: float = 1.0):
-        """Full-image render (H-sharded internally, gathered at the end —
-        only for frame output, never inside the training step)."""
-        pspec = P(None, None, None, "spatial", None)
-
-        def _local(params_loc, scale_loc):
-            img = self._decode_local(params_loc, scale_loc, None)
-            return to_valid_rgb(img * contrast, colors=self.colors)
-
-        fn = shard_map(_local, mesh=self.mesh,
-                       in_specs=(pspec, pspec),
-                       out_specs=P(None, None, "spatial", None),
-                       )
-        return fn(params, jnp.asarray(self.scale))
 
 
 def _dft_mats(n: int):
@@ -373,7 +467,7 @@ def build_spatial_frame_step(spar: SpatialFFT, sampler, clip_cfg, settings,
     return jax.jit(frame_fn, donate_argnums=(0, 1, 2))
 
 
-def _spatial_grad_fn(spar: SpatialFFT, sampler, clip_cfg, settings):
+def _spatial_grad_fn(spar: SpatialCanvas, sampler, clip_cfg, settings):
     """value_and_grad of the sharded-canvas loss — shared by the per-step
     and the chunked-frames builders below."""
     from aphantasia_tpu.ops.augs import get_transform
@@ -388,19 +482,12 @@ def _spatial_grad_fn(spar: SpatialFFT, sampler, clip_cfg, settings):
                if spar.data_axis else None)
 
     def _noise_shift(key):
-        """Spectrum-shift noise (clip_fft.py:238) in the PADDED sharded
-        layout — the zero scale columns keep the pad inert, and the shift
-        tensor is exactly the spectrum-shaped tensor already sharded."""
+        """Per-parameterizer decode noise (clip_fft.py:238) — FFT: the
+        spectrum-shaped shift, sharded exactly like the params; DWT: None
+        (decode ignores the shift, params/dwt.py:176, matching dense)."""
         if settings.noise <= 0:
             return None
-        h, wf_p = spar.scale.shape[2], spar.scale.shape[3]
-        u = jax.random.uniform(key, (1, 1, h, wf_p, 1))
-        if settings.noise_centered:
-            u = u - 0.5
-        # [1,1,h,wf',1] broadcasts over channels and real/imag inside the
-        # shard (same semantics as the dense path's _noise_shift)
-        return jax.lax.with_sharding_constraint(
-            settings.noise * u, spectrum_sharding(spar.mesh))
+        return spar.noise_shift(key, settings)
 
     def encode_cuts(gen_params, clip_params, key, shift):
         k_box, k_tf = jax.random.split(key)
@@ -408,7 +495,8 @@ def _spatial_grad_fn(spar: SpatialFFT, sampler, clip_cfg, settings):
         wy, wx = sampler.weight_matrices(boxes)
         # the [S,M,H] row matrix is the one H-sized auxiliary: keep it
         # sharded like the image so 4K canvases never replicate it
-        wy = jax.lax.with_sharding_constraint(wy, spar.wy_sharding())
+        wy = jax.lax.with_sharding_constraint(spar.pad_wy(wy),
+                                              spar.wy_sharding())
         out = cuts_fn(gen_params, wy, wx, shift=shift)
         cuts, sharp = out if with_sharp else (out, None)
         cuts = transform(k_tf, cuts.astype(settings.clip_dtype))
@@ -452,7 +540,7 @@ def _spatial_grad_fn(spar: SpatialFFT, sampler, clip_cfg, settings):
     return jax.value_and_grad(loss_fn, has_aux=True)
 
 
-def build_spatial_train_step(spar: SpatialFFT, sampler, clip_cfg, settings,
+def build_spatial_train_step(spar: SpatialCanvas, sampler, clip_cfg, settings,
                              optimizer):
     """clip_fft-style training step over the spatially-sharded decode+cut.
 
@@ -478,7 +566,7 @@ def build_spatial_train_step(spar: SpatialFFT, sampler, clip_cfg, settings,
     return jax.jit(train_step, donate_argnums=(0, 1, 2))
 
 
-def build_spatial_train_loop_frames(spar: SpatialFFT, sampler, clip_cfg,
+def build_spatial_train_loop_frames(spar: SpatialCanvas, sampler, clip_cfg,
                                     settings, optimizer, opt_step: int,
                                     n_frames: int, contrast: float = 1.0,
                                     dual=None):

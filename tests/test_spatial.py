@@ -375,3 +375,92 @@ def test_illustrip_spatial_cli(tmp_path):
     frames = [f for f in os.listdir(os.path.join(work, "ttt"))
               if f.endswith(".jpg")]
     assert len(frames) == 3
+
+
+# ---- spatially-sharded DWT (parallel/spatial_dwt.py) ------------------------
+
+def _dwt_setup(size=(512, 384), wave="coif2", samples=5):
+    from aphantasia_tpu.parallel.spatial_dwt import SpatialDWT
+    from aphantasia_tpu.params.dwt import DWTParameterizer
+    mesh = _mesh()
+    spar = SpatialDWT(size, wave, 0.3, 1.8, mesh)
+    par = DWTParameterizer(size, wave, 0.3, 1.8)
+    sampler = CutoutSampler(size, samples, 32, align="uniform", macro=0.3)
+    params = par.init(jax.random.PRNGKey(0))
+    boxes = sampler.sample_boxes(jax.random.PRNGKey(1))
+    wy, wx = sampler.weight_matrices(boxes)
+    return mesh, spar, par, sampler, params, wy, wx
+
+
+def test_spatial_dwt_cut_and_render_match_dense():
+    """Halo-exchange inverse DWT (SURVEY.md §2.6 row 4): sharded cutouts and
+    render equal the dense DWTParameterizer at fp32 noise level."""
+    mesh, spar, par, sampler, params, wy, wx = _dwt_setup()
+    assert spar.k_fine >= 2   # the halo path must actually run
+    ref = np.asarray(_ref_cuts(par, params, wy, wx))
+    cuts_fn = jax.jit(spar.cut_fn(sampler))
+    out = np.asarray(cuts_fn(spar.shard(params), wy, wx))
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+
+    r = np.asarray(jax.jit(spar.render)(spar.shard(params)))
+    np.testing.assert_allclose(r, np.asarray(par.image(params)),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_spatial_dwt_grad_matches_dense():
+    """Gradients flow through the ppermute halo exchanges / masks / psums:
+    per-level parity with the dense pyramid (pad rows receive zero grad)."""
+    mesh, spar, par, sampler, params, wy, wx = _dwt_setup(size=(256, 320),
+                                                          wave="db3",
+                                                          samples=4)
+    co = jax.random.normal(jax.random.PRNGKey(2), (4, 3, 32, 32))
+    g_ref = jax.grad(
+        lambda p: jnp.sum(_ref_cuts(par, p, wy, wx) * co))(params)
+    cuts_fn = spar.cut_fn(sampler)
+    sharded = spar.shard(params)
+    g_sp = jax.grad(lambda p: jnp.sum(cuts_fn(p, wy, wx) * co))(sharded)
+    # pad rows of sharded levels must stay exactly zero-gradient
+    for j in range(1, spar.k_fine + 1):
+        pad = np.asarray(g_sp[j][:, :, :, spar.real_shapes[j][3]:])
+        assert pad.size == 0 or np.abs(pad).max() == 0.0
+    for a, b in zip(spar.unpad(g_sp), g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-3)
+
+
+def test_spatial_dwt_sharding_layout():
+    """Fine levels live row-sharded on the mesh; coarse tail replicated;
+    shard(unpad(shard(p))) round-trips the canonical layout."""
+    mesh, spar, par, _, params, _, _ = _dwt_setup()
+    sh = spar.shard(params)
+    for j, p in enumerate(sh):
+        if 1 <= j <= spar.k_fine:
+            assert p.sharding.spec == (None, None, None, "spatial", None)
+            assert p.shape[3] == spar.mp[j] and p.shape[3] % 8 == 0
+        else:
+            assert p.shape == params[j].shape
+    back = spar.unpad(sh)
+    for a, b in zip(back, params):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+
+def test_clip_fft_spatial_dwt_cli(tmp_path):
+    """clip_fft --dwt --spatial end-to-end on the virtual mesh."""
+    import os
+    from aphantasia_tpu.cli.clip_fft import main
+    out = str(tmp_path / "spd")
+    main(["-t", "test", "--size", "96-64", "--steps", "4", "--samples", "3",
+          "--out_dir", out, "-nv", "--transform", "none", "--spatial", "4",
+          "--dwt", "--save_pt"])
+    run = [os.path.join(out, d) for d in os.listdir(out)
+           if os.path.isdir(os.path.join(out, d))][0]
+    frames = [f for f in os.listdir(run) if f.endswith(".jpg")]
+    assert len(frames) == 4
+    # snapshot lands in the canonical (unpadded) pyramid layout
+    from aphantasia_tpu.io.checkpoint import load_pt
+    from aphantasia_tpu.params.dwt import dwt_shapes, dwt_max_level
+    pts = [f for f in os.listdir(out) if f.endswith(".pt")]
+    assert pts
+    obj = load_pt(os.path.join(out, pts[0]))
+    want = dwt_shapes((64, 96), "coif2", dwt_max_level(64))
+    assert [tuple(np.asarray(p).shape) for p in obj] == [tuple(s) for s in want]
