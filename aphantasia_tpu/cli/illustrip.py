@@ -352,14 +352,11 @@ def run(a):
         if a.gen != 'FFT':
             raise SystemExit('--spatial requires --gen FFT '
                              '(the sharded state is the spectrum)')
-        if a.depth != 0:
-            raise SystemExit('--spatial does not support --depth yet '
-                             '(the DA-V2 grid warp needs the full frame)')
-        fused_depth = False
         from aphantasia_tpu.parallel.mesh import (make_mesh_spatial,
                                                   shard_clip_params)
-        from aphantasia_tpu.parallel.spatial import (SpatialFFT,
-                                                     build_spatial_frame_step)
+        from aphantasia_tpu.parallel.spatial import (
+            SpatialFFT, build_spatial_frame_step,
+            build_spatial_depth_helpers)
         import aphantasia_tpu.models.clip.model as clip_model
         clip_model.FUSED_ATTN = False
         smesh = make_mesh_spatial(a.spatial, a.mesh)
@@ -375,12 +372,20 @@ def run(a):
         optimizer = build_optimizer(a.optimizer, a.lrate)
         spar = SpatialFFT(tuple(a.size), 1.0, a.colors, smesh)
         params_tmp = spar.shard(params_tmp)
+        deptha = build_deptha()
         frame_step1 = build_spatial_frame_step(
             spar, sampler, clip1.cfg, settings, optimizer, a.opt_step,
-            a.smooth, a.contrast)
+            a.smooth, a.contrast, deptha=deptha, depth=a.depth)
         frame_step2 = (build_spatial_frame_step(
             spar, sampler, clip2.cfg, settings, optimizer, a.opt_step,
-            a.smooth, a.contrast) if clip2 else None)
+            a.smooth, a.contrast, deptha=deptha, depth=a.depth)
+            if clip2 else None)
+        fused_depth = deptha is not None and a.depth > 0
+        if fused_depth:
+            # sharded preview decode + the same one-dispatch DA-V2 forward
+            # as the dense path (spatial.py:build_spatial_depth_helpers)
+            preview_fn, depth_infer = build_spatial_depth_helpers(spar,
+                                                                  deptha)
         if a.verbose:
             print(f' spatial mesh: {dict(smesh.shape)}')
     else:

@@ -352,99 +352,159 @@ def _irfft_w_mats(w: int):
     return cf * wk, -sf * wk
 
 
-def spatial_frame_warp(spar: SpatialFFT, params, motion):
+def _raw_decode_rows(spar: SpatialFFT, params_loc):
+    """Wf-sharded RAW spectrum (no decay scale / contrast norm) -> local
+    image rows [1,3,H/n,W] — the distributed spectrum_to_image
+    (params/fft.py:80-86).
+
+    All transform stages run as matmul-DFTs (MXU-friendly; the TPU FFT
+    lowering is far off the roofline at these shapes, and XLA-CPU's fft
+    thunk RET_CHECKs on the transposed layouts the warp's separable passes
+    leave behind).  Matrices are built in-graph from iota — see _dft_mats."""
+    h, w = spar.size
+    wf = w // 2 + 1
+    c_h, s_h = _dft_mats(h)
+    re, im = params_loc[..., 0], params_loc[..., 1]
+    # ifft along H (e^{+iθ}): R' = C R − S I ; I' = S R + C I
+    r1 = (jnp.einsum("jk,bckw->bcjw", c_h, re)
+          - jnp.einsum("jk,bckw->bcjw", s_h, im))
+    i1 = (jnp.einsum("jk,bckw->bcjw", s_h, re)
+          + jnp.einsum("jk,bckw->bcjw", c_h, im))
+    spec = jnp.stack([r1, i1], axis=-1)
+    spec = jax.lax.all_to_all(spec, "spatial", split_axis=2,
+                              concat_axis=3, tiled=True)
+    spec = spec[:, :, :, :wf]
+    cwi, swi = _irfft_w_mats(w)
+    return (jnp.einsum("bcjk,kw->bcjw", spec[..., 0], cwi)
+            + jnp.einsum("bcjk,kw->bcjw", spec[..., 1], swi))  # [1,3,h/n,W]
+
+
+def _encode_rows(spar: SpatialFFT, rows):
+    """Local image rows [1,3,H/n,W] -> Wf-sharded RAW spectrum — the
+    distributed image_to_spectrum (params/fft.py:88-92)."""
+    h, w = spar.size
+    wf = w // 2 + 1
+    wf_p = spar.scale.shape[3]
+    c_h, s_h = _dft_mats(h)
+    cwf, swf = _rfft_w_mats(w)
+    r2 = jnp.einsum("bcjw,kw->bcjk", rows, cwf)            # [1,3,h/n,wf]
+    i2 = -jnp.einsum("bcjw,kw->bcjk", rows, swf)
+    spec = jnp.stack([r2, i2], axis=-1)
+    if wf_p != wf:
+        spec = jnp.pad(spec, ((0, 0),) * 3 + ((0, wf_p - wf), (0, 0)))
+    spec = jax.lax.all_to_all(spec, "spatial", split_axis=3,
+                              concat_axis=2, tiled=True)   # [1,3,h,wf_p/n]
+    # fft along H (e^{-iθ}): R' = C R + S I ; I' = C I − S R
+    re2, im2 = spec[..., 0], spec[..., 1]
+    r3 = (jnp.einsum("jk,bckw->bcjw", c_h, re2)
+          + jnp.einsum("jk,bckw->bcjw", s_h, im2))
+    i3 = (jnp.einsum("jk,bckw->bcjw", c_h, im2)
+          - jnp.einsum("jk,bckw->bcjw", s_h, re2))
+    return jnp.stack([r3, i3], axis=-1)
+
+
+def spatial_frame_warp(spar: SpatialFFT, params, motion, depth: float = 0.0,
+                       depth_map=None):
     """The illustrip FFT-mode frame advance on the sharded canvas
     (VERDICT r1 item 1: '--spatial to illustrip so a 4K video runs
     sharded'; reference illustrip.py:386-423):
 
       spectrum (Wf-sharded) -> distributed irfft2 (ifft_H local,
       all_to_all transpose, irfft_W local) -> all_gather the H-sharded
-      rows ONCE (the only image-sized collective; the per-frame affine
-      motion is a global resample, so every chip warps the full frame
-      with exactly the dense path's `frame_transform` math — bitwise
+      rows ONCE (the only image-sized collective; the per-frame motion is
+      a global resample, so every chip warps the full frame with exactly
+      the dense path's `grid_warp`/`frame_transform` math — bitwise
       parity with the single-device program) -> slice the local rows
       back -> distributed rfft2 (rfft_W local, all_to_all, fft_H local)
       -> spectrum (Wf-sharded, pad columns zero).
 
     Raw ortho transforms, NO decay scale / contrast normalization —
     mirrors the dense spectrum_to_image/image_to_spectrum round-trip
-    (params/fft.py:80-92).  Training steps before/after stay fully
-    sharded; only this once-per-frame warp touches a replicated frame.
+    (params/fft.py:80-92).  With `depth > 0`, the DA-V2 depth product
+    (computed outside, one dispatch per frame — see
+    build_spatial_depth_helpers) drives the 3D grid warp at the gathered
+    frame, exactly like the dense build_frame_step (step.py:353-366).
+    Training steps before/after stay fully sharded; only this
+    once-per-frame warp touches a replicated frame.
     """
     from aphantasia_tpu.ops.warp import frame_transform
     h, w = spar.size
     n = spar.n
-    wf = w // 2 + 1
-    wf_p = spar.scale.shape[3]
     pspec = P(None, None, None, "spatial", None)
-    cspec = P(None, None, None, "spatial")
+    with_depth = depth > 0.0 and depth_map is not None
 
-    def _local(params_loc, motion_v):
-        # All four transform stages run as matmul-DFTs (MXU-friendly; the
-        # TPU FFT lowering is far off the roofline at these shapes, and
-        # XLA-CPU's fft thunk RET_CHECKs on the transposed layouts the
-        # warp's separable passes leave behind).  Matrices are built
-        # in-graph from iota — see _dft_mats.
-        c_h, s_h = _dft_mats(h)
-        # ---- decode: Wf-sharded spectrum -> local image rows ----
-        re, im = params_loc[..., 0], params_loc[..., 1]
-        # ifft along H (e^{+iθ}): R' = C R − S I ; I' = S R + C I
-        r1 = (jnp.einsum("jk,bckw->bcjw", c_h, re)
-              - jnp.einsum("jk,bckw->bcjw", s_h, im))
-        i1 = (jnp.einsum("jk,bckw->bcjw", s_h, re)
-              + jnp.einsum("jk,bckw->bcjw", c_h, im))
-        spec = jnp.stack([r1, i1], axis=-1)
-        spec = jax.lax.all_to_all(spec, "spatial", split_axis=2,
-                                  concat_axis=3, tiled=True)
-        spec = spec[:, :, :, :wf]
-        cwi, swi = _irfft_w_mats(w)
-        img = (jnp.einsum("bcjk,kw->bcjw", spec[..., 0], cwi)
-               + jnp.einsum("bcjk,kw->bcjw", spec[..., 1], swi))  # [1,3,h/n,W]
+    def _local(params_loc, motion_v, dmap):
+        img = _raw_decode_rows(spar, params_loc)
         # ---- gather rows, warp the full frame, take our rows back ----
         full = jax.lax.all_gather(img, "spatial", axis=2, tiled=True)
         angle, sh0, sh1, scale, shear = motion_v
+        if with_depth:
+            from aphantasia_tpu.motion.depthwarp import grid_warp
+            from aphantasia_tpu.ops.resize import resize_bicubic
+            # warp-origin mapping, illustrip.py:115-128 (traced scalars)
+            dx = 100.0 * sh0 / w
+            dy = 100.0 * sh1 / h
+            dz = 0.5 + 32.0 * (scale - 1.0)
+            d = resize_bicubic(dmap, (h, w))
+            full = grid_warp(full, d[0], depth, (dx, dy), dz)
         full = frame_transform(full, (h, w), angle, (sh0, sh1), scale,
                                shear)
         idx = jax.lax.axis_index("spatial")
         rows = jax.lax.dynamic_slice_in_dim(full, idx * (h // n), h // n,
                                             axis=2)
-        # ---- re-encode: local rows -> Wf-sharded spectrum ----
-        cwf, swf = _rfft_w_mats(w)
-        r2 = jnp.einsum("bcjw,kw->bcjk", rows, cwf)            # [1,3,h/n,wf]
-        i2 = -jnp.einsum("bcjw,kw->bcjk", rows, swf)
-        spec = jnp.stack([r2, i2], axis=-1)
-        if wf_p != wf:
-            spec = jnp.pad(spec, ((0, 0),) * 3 + ((0, wf_p - wf), (0, 0)))
-        spec = jax.lax.all_to_all(spec, "spatial", split_axis=3,
-                                  concat_axis=2, tiled=True)   # [1,3,h,wf_p/n]
-        # fft along H (e^{-iθ}): R' = C R + S I ; I' = C I − S R
-        re2, im2 = spec[..., 0], spec[..., 1]
-        r3 = (jnp.einsum("jk,bckw->bcjw", c_h, re2)
-              + jnp.einsum("jk,bckw->bcjw", s_h, im2))
-        i3 = (jnp.einsum("jk,bckw->bcjw", c_h, im2)
-              - jnp.einsum("jk,bckw->bcjw", s_h, re2))
-        return jnp.stack([r3, i3], axis=-1)
+        return _encode_rows(spar, rows)
 
-    fn = shard_map(_local, mesh=spar.mesh, in_specs=(pspec, P()),
+    fn = shard_map(_local, mesh=spar.mesh, in_specs=(pspec, P(), P()),
                    out_specs=pspec)
-    return fn(params, tuple(jnp.asarray(m, jnp.float32) for m in motion))
+    if depth_map is None:
+        depth_map = jnp.zeros((1, 1, 2, 2), jnp.float32)
+    return fn(params, tuple(jnp.asarray(m, jnp.float32) for m in motion),
+              depth_map)
+
+
+def spatial_depth_preview(spar: SpatialFFT, params):
+    """DA-V2-sized preview of the sharded frame state (the spatial analog
+    of step.py:_depth_preview): distributed raw decode, one row gather,
+    color head + bicubic resize replicated."""
+    pspec = P(None, None, None, "spatial", None)
+
+    def _local(params_loc):
+        from aphantasia_tpu.parallel.step import _depth_preview
+        img = _raw_decode_rows(spar, params_loc)
+        full = jax.lax.all_gather(img, "spatial", axis=2, tiled=True)
+        return _depth_preview(full, spar.size, spar.colors)
+
+    # check_vma off: the preview IS replicated (it's a pure function of the
+    # all_gathered frame), but the bicubic resize inside _depth_preview
+    # uses ops the static replication checker can't see through
+    return shard_map(_local, mesh=spar.mesh, in_specs=(pspec,),
+                     out_specs=P(), check_vma=False)(params)
 
 
 def build_spatial_frame_step(spar: SpatialFFT, sampler, clip_cfg, settings,
                              optimizer, opt_steps: int, smooth: bool,
-                             contrast: float = 1.0):
-    """Spatial counterpart of parallel/step.py:build_frame_step (FFT mode,
-    no depth): ONE jitted program per video frame — sharded motion warp,
-    `opt_steps` sharded train steps, full-frame uint8 render.
+                             contrast: float = 1.0, deptha=None,
+                             depth: float = 0.0):
+    """Spatial counterpart of parallel/step.py:build_frame_step (FFT mode):
+    ONE jitted program per video frame — sharded motion warp (with the
+    DA-V2 grid warp at the gathered frame in depth mode), `opt_steps`
+    sharded train steps, full-frame uint8 render.
+
+    Depth mode mirrors the dense contract (step.py:325-337): the signature
+    gains a trailing `depth_map` input and a `preview` output; the DA-V2
+    tower itself runs as its own program (build_spatial_depth_helpers).
 
     Returns frame_fn(params_tmp, opt_state, prev_enc, clip_params,
-    aest_params, prompts, key, step_i, motion) -> (params_tmp, opt_state,
-    prev_enc, frame_u8, losses [opt_steps])."""
+    aest_params, prompts, key, step_i, motion[, depth_map]) ->
+    (params_tmp, opt_state, prev_enc, frame_u8, losses [opt_steps]
+    [, preview])."""
     grad_fn = _spatial_grad_fn(spar, sampler, clip_cfg, settings)
+    with_depth = deptha is not None and depth > 0.0
 
     def frame_fn(params_tmp, opt_state, prev_enc, clip_params, aest_params,
-                 prompts, key, step_i, motion):
-        gp = spatial_frame_warp(spar, params_tmp, motion)
+                 prompts, key, step_i, motion, depth_map=None):
+        gp = spatial_frame_warp(spar, params_tmp, motion, depth=depth,
+                                depth_map=depth_map if with_depth else None)
         os_ = opt_state if smooth else optimizer.init(gp)
 
         def body(carry, s):
@@ -462,9 +522,29 @@ def build_spatial_frame_step(spar: SpatialFFT, sampler, clip_cfg, settings,
         img = spar.render(gp, contrast=contrast)
         img = jnp.clip(img[0].transpose(1, 2, 0), 0.0, 1.0)
         frame_u8 = (img * 255.0 + 0.5).astype(jnp.uint8)
+        if with_depth:
+            preview = spatial_depth_preview(spar, gp)
+            return gp, os_, pe, frame_u8, losses, preview
         return gp, os_, pe, frame_u8, losses
 
     return jax.jit(frame_fn, donate_argnums=(0, 1, 2))
+
+
+def build_spatial_depth_helpers(spar: SpatialFFT, deptha):
+    """Spatial analog of step.py:build_depth_helpers: preview(params) for
+    the frame-0 bootstrap (sharded decode + row gather + resize), and
+    infer(preview) — ONE batched mirror-fused DA-V2 forward, identical to
+    the dense helper (the tower sees only the replicated preview)."""
+    from aphantasia_tpu.motion.depthwarp import mirror_fused_depth
+
+    def infer_fn(dparams, preview):
+        return mirror_fused_depth(
+            lambda x: type(deptha).apply(dparams, deptha.cfg, x,
+                                         dtype=deptha.dtype), preview)
+
+    infer_jit = jax.jit(infer_fn)
+    preview_jit = jax.jit(lambda p: spatial_depth_preview(spar, p))
+    return preview_jit, lambda prev: infer_jit(deptha.params, prev)
 
 
 def _spatial_grad_fn(spar: SpatialCanvas, sampler, clip_cfg, settings):

@@ -464,3 +464,79 @@ def test_clip_fft_spatial_dwt_cli(tmp_path):
     obj = load_pt(os.path.join(out, pts[0]))
     want = dwt_shapes((64, 96), "coif2", dwt_max_level(64))
     assert [tuple(np.asarray(p).shape) for p in obj] == [tuple(s) for s in want]
+
+
+# ---- spatial depth mode (illustrip --spatial --depth) -----------------------
+
+def test_spatial_frame_step_depth_matches_dense():
+    """Depth-mode spatial frame step == dense build_frame_step given the
+    same depth product: grid warp at the gathered frame, preview emitted
+    for the next DA-V2 dispatch."""
+    from aphantasia_tpu.parallel.spatial import (build_spatial_frame_step,
+                                                 unpad_spectrum)
+    from aphantasia_tpu.parallel.step import StepSettings, build_frame_step
+    from aphantasia_tpu.ops.optim import build_optimizer
+    from tests.test_step import TINY_CLIP
+    from aphantasia_tpu.models.clip.model import clip_init, encode_text
+    from aphantasia_tpu.models.clip.tokenizer import tokenize
+
+    mesh = _mesh()
+    size = (64, 96)
+    spar = SpatialFFT(size, 1.0, 1.8, mesh)
+    par = FFTParameterizer(size, 1.0, 1.8)
+    sampler = CutoutSampler(size, 4, 32, align="uniform")
+    cp = clip_init(jax.random.PRNGKey(0), TINY_CLIP)
+    toks = np.clip(tokenize(["depth probe"], context_length=16), 0, 255)
+    prompts = ((encode_text(cp, TINY_CLIP, jnp.asarray(toks)),
+                jnp.ones((1,)), jnp.float32(-1.0)),)
+    settings = StepSettings(sim="cossim", transform="none", total_steps=4)
+    opt = build_optimizer("adam_custom", 0.05)
+    params = par.init(jax.random.PRNGKey(1))
+    pe0 = jnp.zeros((4, TINY_CLIP.embed_dim))
+    key = jax.random.PRNGKey(9)
+    motion = (jnp.float32(2.0), jnp.float32(1.0), jnp.float32(-1.0),
+              jnp.float32(1.02), jnp.float32(0.3))
+    # synthetic mirror-fused depth product at a DA-V2-ish resolution
+    dmap = jax.random.uniform(jax.random.PRNGKey(3), (1, 1, 28, 42))
+    dummy_deptha = object()   # with_depth gate only; tower runs outside
+
+    dense_fn = build_frame_step(par, sampler, TINY_CLIP, settings, opt,
+                                "FFT", size, 2, smooth=False, contrast=1.2,
+                                deptha=dummy_deptha, depth=1.0, colors=1.8)
+    gp_d, _, pe_d, frame_d, losses_d, prev_d = dense_fn(
+        params, opt.init(params), jnp.array(pe0), cp, None, prompts, key,
+        jnp.int32(1), motion, dmap)
+
+    sp_fn = build_spatial_frame_step(spar, sampler, TINY_CLIP, settings,
+                                     opt, 2, smooth=False, contrast=1.2,
+                                     deptha=dummy_deptha, depth=1.0)
+    sharded = spar.shard(par.init(jax.random.PRNGKey(1)))
+    gp_s, _, pe_s, frame_s, losses_s, prev_s = sp_fn(
+        sharded, opt.init(sharded), jnp.array(pe0), cp, None, prompts, key,
+        jnp.int32(1), motion, dmap)
+
+    np.testing.assert_allclose(np.asarray(losses_s), np.asarray(losses_d),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(unpad_spectrum(gp_s, size[1])), np.asarray(gp_d),
+        rtol=2e-3, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(prev_s), np.asarray(prev_d),
+                               rtol=1e-4, atol=2e-5)
+    assert np.abs(np.asarray(frame_s).astype(int)
+                  - np.asarray(frame_d).astype(int)).max() <= 1
+
+
+def test_illustrip_spatial_depth_cli(tmp_path):
+    """illustrip --spatial --depth end-to-end: sharded frame advance with
+    the DA-V2 grid warp + double-buffered depth dispatch."""
+    import os
+    from aphantasia_tpu.cli.illustrip import main
+    out = str(tmp_path / "ispd")
+    main(["-t", "test", "--size", "96-64", "--steps", "2", "--opt_step", "1",
+          "--samples", "3", "--gen", "FFT", "--out_dir", out, "-nv",
+          "--transform", "none", "--spatial", "4", "--fstep", "2",
+          "--depth", "1.0", "--depth_model", "s"])
+    work = [os.path.join(out, d) for d in os.listdir(out)][0]
+    frames = [f for f in os.listdir(os.path.join(work, "ttt"))
+              if f.endswith(".jpg")]
+    assert len(frames) == 2
