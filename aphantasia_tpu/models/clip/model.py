@@ -299,7 +299,12 @@ def attnpool(x, p, n_heads):
 def resnet_encode(params, cfg: CLIPConfig, x, dtype=jnp.float32):
     x = x.astype(dtype).transpose(0, 2, 3, 1)  # NCHW -> NHWC
     st = params["stem"]
-    x = jax.nn.relu(_bn(_conv(x, st["conv1_w"], stride=2), st["bn1"]))
+    # explicit (1,1) padding: at stride 2, XLA's SAME pads (0,1) while the
+    # OpenAI stem (torch Conv2d padding=1) pads (1,1) — a one-pixel window
+    # shift that changes every downstream activation (pinned by the
+    # torch-mirror golden in tests/test_clip.py)
+    x = jax.nn.relu(_bn(_conv(x, st["conv1_w"], stride=2,
+                              padding=((1, 1), (1, 1))), st["bn1"]))
     x = jax.nn.relu(_bn(_conv(x, st["conv2_w"]), st["bn2"]))
     x = jax.nn.relu(_bn(_conv(x, st["conv3_w"]), st["bn3"]))
     x = _avgpool(x, 2)
