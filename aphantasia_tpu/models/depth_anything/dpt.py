@@ -96,7 +96,12 @@ def dav2_apply(params, cfg: DAV2Config, x, dtype=jnp.float32):
         elif i == 1:
             f = _conv_transpose(f, hp["up2_w"], hp["up2_b"])
         elif i == 3:
-            f = _conv(f, hp["down_w"], hp["down_b"], stride=2)
+            # explicit (1,1) padding: at stride 2 XLA's SAME pads (0,1)
+            # while the HF reassemble down layer (Conv2d padding=1) pads
+            # (1,1) — a one-pixel window shift on even grids (same bug
+            # class as the CLIP ResNet stem; see tests/test_depth.py)
+            f = _conv(f, hp["down_w"], hp["down_b"], stride=2,
+                      padding=((1, 1), (1, 1)))
         pyramid.append(f)
 
     # scratch: project each level to `features` channels

@@ -85,3 +85,27 @@ def test_hf_parity_tiny():
         want = model(pixel_values=torch.from_numpy(x)).predicted_depth.numpy()
     got = np.asarray(dav2_apply(params, cfg, jnp.asarray(x)))[:, 0]
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
+
+
+def test_dpt_down_conv_padding_matches_torch():
+    """The neck's stride-2 reassemble down conv must use torch's (1,1)
+    padding, not XLA SAME's (0,1) — on even grids the two differ by a
+    one-pixel window shift.  Tested in isolation because the tiny HF
+    golden's fusion weights make level 3 numerically inert (zeroing its
+    weights changes the output by ~1e-10 in BOTH frameworks), so the
+    end-to-end golden cannot see this layer."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+    from aphantasia_tpu.models.depth_anything.dpt import _conv
+
+    rs = np.random.RandomState(0)
+    x = rs.randn(1, 5, 4, 6).astype(np.float32)    # NCHW, even grid
+    w = rs.randn(5, 5, 3, 3).astype(np.float32)    # OIHW
+    with torch.no_grad():
+        want = F.conv2d(torch.from_numpy(x), torch.from_numpy(w),
+                        stride=2, padding=1).numpy()
+    got = np.asarray(_conv(jnp.asarray(x.transpose(0, 2, 3, 1)),
+                           jnp.asarray(w.transpose(2, 3, 1, 0)),
+                           stride=2, padding=((1, 1), (1, 1))))
+    np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want,
+                               rtol=1e-5, atol=1e-5)
