@@ -79,6 +79,9 @@ def get_args(argv=None):
     parser.add_argument('--aest_weights', default=None)
     parser.add_argument('--precision', default='auto', choices=['auto', 'bf16', 'fp32'])
     parser.add_argument('--seed', default=0, type=int)
+    parser.add_argument('--spatial', default=0, type=int,
+                        help='Shard the FFT canvas spatially over N devices '
+                             '(4K+ scenes; composes with --mesh)')
     add_parallel_flags(parser)
     a = parser.parse_args(argv)
     if a.dualmod is not None and a.dualmod < 1:
@@ -169,7 +172,6 @@ def run(a):
     par = FFTParameterizer(tuple(a.size), a.decay, a.colors)
     sampler = CutoutSampler(tuple(a.size), a.samples, a.modsize, a.align,
                             a.macro, use_pallas=a.pallas)
-    mesh = setup_mesh(a.mesh, (clip1, clip2), a.verbose)
     opt_name = ('adamw_custom' if a.optimr.lower() == 'adamw' else 'adam_custom')
     optimizer = build_optimizer(opt_name, a.lrate)
     settings = StepSettings(
@@ -177,12 +179,46 @@ def run(a):
         enforce=a.enforce, expand=0.0, noise=a.noise, noise_centered=True,
         total_steps=max(a.steps // a.save_step, 1), transform=a.transform,
         clip_dtype=dtype)
-    step1 = build_train_step(par, sampler, clip1.cfg, settings, optimizer,
-                             mesh=mesh)
-    step2 = (build_train_step(par, sampler, clip2.cfg, settings, optimizer,
-                              mesh=mesh)
-             if clip2 else None)
-    render = build_render(par)
+    spar = None
+    if a.spatial and a.spatial > 1:
+        # spatially-sharded scenes (clip_fft --spatial semantics; scenes are
+        # sequential, so each trains on the same sharded canvas)
+        from aphantasia_tpu.parallel.mesh import (make_mesh_spatial,
+                                                  shard_clip_params)
+        from aphantasia_tpu.parallel.spatial import (
+            SpatialFFT, build_spatial_train_step)
+        smesh = make_mesh_spatial(a.spatial, a.mesh)
+        import aphantasia_tpu.models.clip.model as clip_model
+        clip_model.FUSED_ATTN = False
+        if 'model' in smesh.axis_names and smesh.shape['model'] > 1:
+            for wdl in (clip1, clip2):
+                if wdl is not None:
+                    wdl.params = shard_clip_params(wdl.params, smesh)
+        if 'data' in smesh.axis_names and a.samples % smesh.shape['data']:
+            dp = smesh.shape['data']
+            a.samples += dp - a.samples % dp
+            sampler = CutoutSampler(tuple(a.size), a.samples, a.modsize,
+                                    a.align, a.macro, use_pallas=a.pallas)
+        spar = SpatialFFT(tuple(a.size), a.decay, a.colors, smesh)
+        step1 = build_spatial_train_step(spar, sampler, clip1.cfg, settings,
+                                         optimizer)
+        step2 = (build_spatial_train_step(spar, sampler, clip2.cfg,
+                                          settings, optimizer)
+                 if clip2 else None)
+        render = lambda p, contrast=1.0: (jnp.clip(  # noqa: E731
+            spar.render(p, contrast)[0].transpose(1, 2, 0), 0.0, 1.0)
+            * 255.0 + 0.5).astype(jnp.uint8)
+        if a.verbose:
+            print(f' spatial mesh: {dict(smesh.shape)}')
+        mesh = None
+    else:
+        mesh = setup_mesh(a.mesh, (clip1, clip2), a.verbose)
+        step1 = build_train_step(par, sampler, clip1.cfg, settings,
+                                 optimizer, mesh=mesh)
+        step2 = (build_train_step(par, sampler, clip2.cfg, settings,
+                                  optimizer, mesh=mesh)
+                 if clip2 else None)
+        render = build_render(par)
     dm_nums = dualmod_steps(a.steps, a.dualmod) if a.dualmod else set()
 
     # chunked fast path (step.py:build_train_loop_frames): save_step-sized
@@ -196,9 +232,16 @@ def run(a):
         n_frames_total = a.steps // a.save_step
         nf = frames_per_dispatch(tuple(a.size), n_frames_total)
         dual = (clip2.cfg, a.dualmod) if clip2 is not None else None
-        chunk_loop = build_train_loop_frames(
-            par, sampler, clip1.cfg, settings, optimizer, a.save_step, nf,
-            contrast=a.contrast, mesh=mesh, step_index='step', dual=dual)
+        if spar is not None:
+            from aphantasia_tpu.parallel.spatial import (
+                build_spatial_train_loop_frames)
+            chunk_loop = build_spatial_train_loop_frames(
+                spar, sampler, clip1.cfg, settings, optimizer, a.save_step,
+                nf, contrast=a.contrast, step_index='step', dual=dual)
+        else:
+            chunk_loop = build_train_loop_frames(
+                par, sampler, clip1.cfg, settings, optimizer, a.save_step, nf,
+                contrast=a.contrast, mesh=mesh, step_index='step', dual=dual)
 
     def groups_for(num, which):
         txts, styls, imgs = ((txt2, styl2, imge2) if which == 2
@@ -238,7 +281,14 @@ def run(a):
                 gen_params, sz = resume_fft(a.resume, [1, 3, *a.size], a.decay,
                                             sd=0.08, key=jax.random.fold_in(k_init, num))
                 gen_params = jnp.asarray(np.asarray(gen_params, np.float32))
+                if spar is not None:
+                    gen_params = spar.shard(gen_params)
                 opt_state = optimizer.init(gen_params)
+            elif spar is not None:
+                # keep-chaining on-device: the sharded 4K spectrum never
+                # round-trips the host (same math as the dense branch)
+                gen_params = (a.keep * gen_params
+                              / (jnp.max(gen_params) - jnp.min(gen_params)))
             else:
                 # keep-chaining (illustra.py:271-286): rescale prev params,
                 # carry optimizer state
@@ -275,10 +325,13 @@ def run(a):
                 for c in range(n_frames_total // nf):
                     extra = ((clip2.params, aest2, prompts2)
                              if clip2 is not None else ())
+                    # the spatial loop takes no lpips bundle (illustra never
+                    # uses --sync; the dense loop keeps the slot for parity)
+                    lp = () if spar is not None else (None,)
                     (gen_params, opt_state, prev_enc, frames_u8,
                      loss) = chunk_loop(
                         gen_params, opt_state, prev_enc, clip1.params, aest,
-                        None, prompts1, *extra, k_scene, jnp.int32(c * nf))
+                        *lp, prompts1, *extra, k_scene, jnp.int32(c * nf))
                     writer.save_batch(
                         [os.path.join(tempdir, '%04d.jpg' % (c * nf + j))
                          for j in range(nf)], frames_u8)
@@ -290,10 +343,12 @@ def run(a):
                     use2 = clip2 is not None and i in dm_nums
                     step = step2 if use2 else step1
                     clip_w = clip2.params if use2 else clip1.params
+                    args = (gen_params, opt_state, prev_enc, clip_w,
+                            aest2 if use2 else aest)
+                    args += (() if spar is not None else (None,))
                     gen_params, opt_state, prev_enc, loss = step(
-                        gen_params, opt_state, prev_enc, clip_w,
-                        aest2 if use2 else aest, None,
-                        prompts2 if use2 else prompts1, k_step, jnp.int32(i))
+                        *args, prompts2 if use2 else prompts1, k_step,
+                        jnp.int32(i))
                     if i % a.save_step == 0:
                         writer.save(os.path.join(
                             tempdir, '%04d.jpg' % (i // a.save_step)),
@@ -307,9 +362,12 @@ def run(a):
             frames_to_video(tempdir, os.path.join(workdir, out_name + '.mp4'),
                             fps=a.fps)
             if a.save_pt:
-                # bare tensor for byte-parity (illustra.py:308)
+                # bare tensor for byte-parity (illustra.py:308); sharded
+                # canvases drop the spatial pad -> canonical Wf layout
+                obj = (spar.unpad(gen_params) if spar is not None
+                       else gen_params)
                 save_pt('%s.pt' % os.path.join(workdir, out_name),
-                        np.asarray(gen_params))
+                        np.asarray(obj))
 
     except KeyboardInterrupt:
         print(' interrupted — assembling completed scenes')

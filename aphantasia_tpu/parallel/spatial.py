@@ -649,6 +649,7 @@ def build_spatial_train_step(spar: SpatialCanvas, sampler, clip_cfg, settings,
 def build_spatial_train_loop_frames(spar: SpatialCanvas, sampler, clip_cfg,
                                     settings, optimizer, opt_step: int,
                                     n_frames: int, contrast: float = 1.0,
+                                    step_index: str = "frame",
                                     dual=None):
     """Chunked frame-group loop for the sharded canvas — the spatial
     counterpart of parallel/step.py:build_train_loop_frames (same cadence:
@@ -679,18 +680,21 @@ def build_spatial_train_loop_frames(spar: SpatialCanvas, sampler, clip_cfg,
         def one_step(carry, gstep, fstep):
             gp, os_, pe = carry
             k = jax.random.fold_in(key, gstep)
+            # what the loss sees as step_i (mirrors step.py:247): the frame
+            # index (clip_fft's i // opt_step) or the global step (illustra)
+            si = fstep if step_index == "frame" else gstep
             if dual is None:
                 (loss, out_enc), grads = grad_fn(gp, clip_params,
                                                  aest_params, prompts, pe,
-                                                 k, fstep)
+                                                 k, si)
             else:
                 use2 = jnp.logical_and(gstep % dm_every == 0, gstep > 0)
                 (loss, out_enc), grads = jax.lax.cond(
                     use2,
                     lambda _: grad_fn2(gp, clip_params2, aest_params2,
-                                       prompts2, pe, k, fstep),
+                                       prompts2, pe, k, si),
                     lambda _: grad_fn(gp, clip_params, aest_params,
-                                      prompts, pe, k, fstep),
+                                      prompts, pe, k, si),
                     None)
             updates, os_ = optimizer.update(grads, os_, gp)
             gp = jax.tree_util.tree_map(lambda p, u: p + u, gp, updates)

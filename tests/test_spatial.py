@@ -540,3 +540,25 @@ def test_illustrip_spatial_depth_cli(tmp_path):
     frames = [f for f in os.listdir(os.path.join(work, "ttt"))
               if f.endswith(".jpg")]
     assert len(frames) == 2
+
+
+def test_illustra_spatial_cli(tmp_path):
+    """illustra --spatial end-to-end: two scenes on the sharded canvas with
+    on-device keep-chaining, canonical .pt snapshots, crossfade assembly."""
+    import os
+    from aphantasia_tpu.cli.illustra import main
+    out = str(tmp_path / "asp")
+    txt = str(tmp_path / "scenes.txt")
+    with open(txt, "w") as f:
+        f.write("first scene\nsecond scene\n")
+    main(["-t", txt, "--size", "96-64", "--steps", "2", "--save_step", "1",
+          "--samples", "3", "--out_dir", out, "-nv", "--transform", "none",
+          "--spatial", "4", "--aest", "0", "--lsteps", "2"])
+    pts = [f for f in os.listdir(out) if f.endswith(".pt")]
+    assert len(pts) == 2
+    # canonical spectrum layout (Wf = 96//2+1), not the padded shard layout
+    from aphantasia_tpu.io.checkpoint import load_pt
+    spec = np.asarray(load_pt(os.path.join(out, pts[0])))
+    assert spec.shape == (1, 3, 64, 49, 2)
+    mp4s = [f for f in os.listdir(out) if f.endswith(".mp4")]
+    assert "scenes.mp4" in mp4s   # assembled crossfade
