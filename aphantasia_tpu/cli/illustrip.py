@@ -349,13 +349,10 @@ def run(a):
         # spectrum + irfft2 + cutout contraction distributed; the per-frame
         # motion warp gathers rows once, warps with the dense math, and
         # re-shards (reference scale claim README.md:17)
-        if a.gen != 'FFT':
-            raise SystemExit('--spatial requires --gen FFT '
-                             '(the sharded state is the spectrum)')
         from aphantasia_tpu.parallel.mesh import (make_mesh_spatial,
                                                   shard_clip_params)
         from aphantasia_tpu.parallel.spatial import (
-            SpatialFFT, build_spatial_frame_step,
+            SpatialFFT, SpatialRGB, build_spatial_frame_step,
             build_spatial_depth_helpers)
         import aphantasia_tpu.models.clip.model as clip_model
         clip_model.FUSED_ATTN = False
@@ -370,7 +367,9 @@ def run(a):
         sampler = make_sampler()
         settings = make_settings()
         optimizer = build_optimizer(a.optimizer, a.lrate)
-        spar = SpatialFFT(tuple(a.size), 1.0, a.colors, smesh)
+        spar = (SpatialRGB(tuple(a.size), a.colors, smesh, a.fixcontrast)
+                if a.gen == 'RGB'
+                else SpatialFFT(tuple(a.size), 1.0, a.colors, smesh))
         params_tmp = spar.shard(params_tmp)
         deptha = build_deptha()
         frame_step1 = build_spatial_frame_step(

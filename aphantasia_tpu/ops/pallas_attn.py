@@ -301,16 +301,22 @@ def flat_geometry(t: int, dtype):
 
     Unlike `attention_core`, T is NEVER padded: the 2D sample-major stream
     is cut into blocks of bb*t rows, with bb chosen so bb*t is a multiple
-    of the sublane tile (t=50 bf16 -> bb=8, 400 rows) and >= ~256 rows for
-    MXU occupancy. Returns None when alignment would force huge blocks
-    (e.g. odd T like 257 -> bb=16 -> 4112-row scores blow VMEM)."""
+    of the sublane tile (t=50 bf16 -> bb=8, 400 rows) and >= the target row
+    count for MXU occupancy. Returns None when alignment would force huge
+    blocks (e.g. odd T like 257 -> bb=16 -> 4112-row scores blow VMEM).
+
+    APHANTASIA_ATTN_ROWS overrides the ~256-row target (perf sweep knob:
+    bigger blocks amortize the per-block grid overhead but the
+    cross-sample score overcompute grows linearly with bb)."""
+    import os
+    target = int(os.environ.get("APHANTASIA_ATTN_ROWS", "256"))
     tile = _tile(dtype)
     bb = 1
     while (bb * t) % tile != 0:
         bb += 1
-    while bb * t < 256:
+    while bb * t < target:
         bb *= 2
-    if bb * t > 1024:
+    if bb * t > max(1024, target):
         return None
     return bb
 

@@ -161,12 +161,32 @@ class SpatialCanvas:
         dy = jax.lax.psum(dy_sum, "spatial") / (3 * (h - 1) * w)
         return 0.5 * (dx + dy)
 
-    def cut_fn(self, sampler, compute_dtype=None, with_sharp=False):
+    def _anchors_local(self, img):
+        """Per-channel mean/std of the H-sharded RGB image (the illustrip
+        RGB brightness/contrast pins, step.py:123-126) — two [3]-sized
+        psums; container pad rows (a 0.5 constant after to_valid_rgb) are
+        masked out of the sums."""
+        h, w = self.size
+        if self.h_container != h:
+            hloc = self.h_container // self.n
+            row = jax.lax.axis_index("spatial") * hloc + jnp.arange(hloc)
+            img = img * (row < h)[:, None]
+        s1 = jax.lax.psum(jnp.sum(img, axis=(0, 2, 3)), "spatial")   # [3]
+        s2 = jax.lax.psum(jnp.sum(img * img, axis=(0, 2, 3)), "spatial")
+        cnt = h * w
+        mean_c = s1 / cnt
+        var_c = (s2 - s1 * s1 / cnt) / (cnt - 1)
+        return mean_c, jnp.sqrt(var_c)
+
+    def cut_fn(self, sampler, compute_dtype=None, with_sharp=False,
+               with_anchors=False):
         """Returns cuts(params, wy, wx, shift=None, contrast=1.0) ->
-        [S,C,M,M] (replicated over 'spatial') — or (cuts, sharp) with
-        `with_sharp` ('naiv' sharpness over the sharded image, one-row halo
-        exchange for the shard-boundary y diffs).  wy [S,M,H] arrives
-        H-sharded, wx is replicated; `sampler` supplies static config."""
+        [S,C,M,M] (replicated over 'spatial') — with `with_sharp` /
+        `with_anchors`, a tuple (cuts[, sharp][, (mean_c, std_c)]): 'naiv'
+        sharpness over the sharded image (one-row halo exchange for the
+        shard-boundary y diffs) and the per-channel image moments for the
+        illustrip RGB anchors.  wy [S,M,H] arrives H-sharded, wx is
+        replicated; `sampler` supplies static config."""
         dt = compute_dtype or jnp.float32
         da = self.data_axis     # cutout batch axis sharding (or None)
 
@@ -180,16 +200,24 @@ class SpatialCanvas:
                               tmp.astype(dt),
                               preferred_element_type=jnp.float32)
             cuts = jax.lax.psum(part, "spatial")
+            out = (cuts,)
             if with_sharp:
-                return cuts, self._sharp_local(img)
-            return cuts
+                out += (self._sharp_local(img),)
+            if with_anchors:
+                out += (self._anchors_local(img),)
+            return out if len(out) > 1 else cuts
 
         cuts_spec = P(da)
+        out_specs = (cuts_spec,)
+        if with_sharp:
+            out_specs += (P(),)
+        if with_anchors:
+            out_specs += ((P(), P()),)
         fn = shard_map(
             _local, mesh=self.mesh,
             in_specs=(self.param_specs(), self.aux_specs(),
                       P(da, None, "spatial"), P(da), P()),
-            out_specs=(cuts_spec, P()) if with_sharp else cuts_spec,
+            out_specs=out_specs if len(out_specs) > 1 else cuts_spec,
         )
 
         def cuts(params, wy, wx, shift=None, contrast=1.0):
@@ -291,6 +319,17 @@ class SpatialFFT(SpatialCanvas):
         return jax.lax.with_sharding_constraint(
             settings.noise * u, spectrum_sharding(self.mesh))
 
+    # ---- frame-warp hooks (spatial_frame_warp) -------------------------------
+
+    def state_spec(self):
+        return P(None, None, None, "spatial", None)
+
+    def raw_rows(self, params_loc):
+        return _raw_decode_rows(self, params_loc)
+
+    def from_rows(self, rows):
+        return _encode_rows(self, rows)
+
     def _decode_local(self, params_loc, aux_loc):
         """Per-shard: scaled spectrum [.., Wf'/n, 2] -> image rows
         [1, 3, H/n, W] (H-sharded after the all_to_all transpose)."""
@@ -350,6 +389,90 @@ def _irfft_w_mats(w: int):
         wk[-1, 0] = 1.0
     wk = jnp.asarray(wk)
     return cf * wk, -sf * wk
+
+
+class SpatialRGB(SpatialCanvas):
+    """Raw-pixel parameterizer (params/pixel.py semantics) row-sharded over
+    mesh['spatial'] — the illustrip default `--gen RGB` on giant canvases.
+    No transform is needed at all: the trainable state IS the image, so
+    decode is a contrast rescale (global std via scalar psums, or the fixed
+    /3.3 when `fixcontrast`) and the only collectives are the cuts-sized
+    psum and the once-per-frame row gather of the motion warp."""
+
+    def __init__(self, size, colors: float, mesh: Mesh,
+                 fixcontrast: bool = False):
+        self.size = tuple(size)
+        self.colors = colors
+        self.fixcontrast = fixcontrast
+        self.mesh = mesh
+        self.n = mesh.shape["spatial"]
+        self.data_axis = ("data" if "data" in mesh.axis_names
+                          and mesh.shape["data"] > 1 else None)
+        self.h_container = _pad_to(self.size[0], self.n)
+
+    # ---- params -----------------------------------------------------------
+
+    def state_spec(self):
+        return P(None, None, "spatial", None)
+
+    def param_specs(self):
+        return self.state_spec()
+
+    def init(self, key, sd: float = 1.0):
+        from aphantasia_tpu.params.pixel import pixel_init
+        h, w = self.size
+        return self.shard(pixel_init(key, (1, 3, h, w), sd))
+
+    def shard(self, params):
+        pad = self.h_container - params.shape[2]
+        if pad:
+            params = jnp.pad(params, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        return jax.device_put(params,
+                              NamedSharding(self.mesh, self.state_spec()))
+
+    def unpad(self, params):
+        return params[:, :, :self.size[0]]
+
+    # ---- decode -------------------------------------------------------------
+
+    def aux_specs(self):
+        return ()
+
+    def _make_aux(self, shift):
+        del shift  # pixel decode ignores shift (params/pixel.py:26)
+        return ()
+
+    def noise_shift(self, key, settings):
+        return None
+
+    def _decode_local(self, params_loc, aux_loc):
+        del aux_loc
+        h, w = self.size
+        if self.h_container != h:
+            # mask container pad rows BEFORE the std sums: without it the
+            # mean term of the std gradient would leak into pad pixels,
+            # Adam would walk them off zero, and the sharded std would
+            # drift from the dense one over steps
+            hloc = self.h_container // self.n
+            row = jax.lax.axis_index("spatial") * hloc + jnp.arange(hloc)
+            params_loc = params_loc * (row < h)[:, None]
+        if self.fixcontrast:
+            return params_loc / 3.3
+        s1 = jax.lax.psum(jnp.sum(params_loc), "spatial")
+        s2 = jax.lax.psum(jnp.sum(params_loc * params_loc), "spatial")
+        cnt = 3 * h * w
+        var = (s2 - s1 * s1 / cnt) / (cnt - 1)
+        return params_loc * jax.lax.rsqrt(var + 1e-20)
+
+    # ---- frame-warp hooks (spatial_frame_warp) -------------------------------
+
+    def raw_rows(self, params_loc):
+        """The RAW frame state rows (dense illustrip decode_raw for RGB is
+        the identity, step.py:349-351)."""
+        return params_loc
+
+    def from_rows(self, rows):
+        return rows
 
 
 def _raw_decode_rows(spar: SpatialFFT, params_loc):
@@ -429,14 +552,15 @@ def spatial_frame_warp(spar: SpatialFFT, params, motion, depth: float = 0.0,
     """
     from aphantasia_tpu.ops.warp import frame_transform
     h, w = spar.size
-    n = spar.n
-    pspec = P(None, None, None, "spatial", None)
+    hc = spar.h_container
     with_depth = depth > 0.0 and depth_map is not None
 
     def _local(params_loc, motion_v, dmap):
-        img = _raw_decode_rows(spar, params_loc)
+        img = spar.raw_rows(params_loc)
         # ---- gather rows, warp the full frame, take our rows back ----
         full = jax.lax.all_gather(img, "spatial", axis=2, tiled=True)
+        if hc != h:
+            full = full[:, :, :h]           # drop container pad rows
         angle, sh0, sh1, scale, shear = motion_v
         if with_depth:
             from aphantasia_tpu.motion.depthwarp import grid_warp
@@ -449,13 +573,16 @@ def spatial_frame_warp(spar: SpatialFFT, params, motion, depth: float = 0.0,
             full = grid_warp(full, d[0], depth, (dx, dy), dz)
         full = frame_transform(full, (h, w), angle, (sh0, sh1), scale,
                                shear)
+        if hc != h:
+            full = jnp.pad(full, ((0, 0), (0, 0), (0, hc - h), (0, 0)))
         idx = jax.lax.axis_index("spatial")
-        rows = jax.lax.dynamic_slice_in_dim(full, idx * (h // n), h // n,
-                                            axis=2)
-        return _encode_rows(spar, rows)
+        rows = jax.lax.dynamic_slice_in_dim(full, idx * (hc // spar.n),
+                                            hc // spar.n, axis=2)
+        return spar.from_rows(rows)
 
-    fn = shard_map(_local, mesh=spar.mesh, in_specs=(pspec, P(), P()),
-                   out_specs=pspec)
+    fn = shard_map(_local, mesh=spar.mesh,
+                   in_specs=(spar.state_spec(), P(), P()),
+                   out_specs=spar.state_spec())
     if depth_map is None:
         depth_map = jnp.zeros((1, 1, 2, 2), jnp.float32)
     return fn(params, tuple(jnp.asarray(m, jnp.float32) for m in motion),
@@ -466,18 +593,19 @@ def spatial_depth_preview(spar: SpatialFFT, params):
     """DA-V2-sized preview of the sharded frame state (the spatial analog
     of step.py:_depth_preview): distributed raw decode, one row gather,
     color head + bicubic resize replicated."""
-    pspec = P(None, None, None, "spatial", None)
 
     def _local(params_loc):
         from aphantasia_tpu.parallel.step import _depth_preview
-        img = _raw_decode_rows(spar, params_loc)
+        img = spar.raw_rows(params_loc)
         full = jax.lax.all_gather(img, "spatial", axis=2, tiled=True)
+        if spar.h_container != spar.size[0]:
+            full = full[:, :, :spar.size[0]]
         return _depth_preview(full, spar.size, spar.colors)
 
     # check_vma off: the preview IS replicated (it's a pure function of the
     # all_gathered frame), but the bicubic resize inside _depth_preview
     # uses ops the static replication checker can't see through
-    return shard_map(_local, mesh=spar.mesh, in_specs=(pspec,),
+    return shard_map(_local, mesh=spar.mesh, in_specs=(spar.state_spec(),),
                      out_specs=P(), check_vma=False)(params)
 
 
@@ -556,8 +684,9 @@ def _spatial_grad_fn(spar: SpatialCanvas, sampler, clip_cfg, settings):
 
     transform = get_transform(settings.transform)
     with_sharp = settings.sharp != 0
+    with_anchors = settings.rgb_anchors
     cuts_fn = spar.cut_fn(sampler, compute_dtype=settings.clip_dtype,
-                          with_sharp=with_sharp)
+                          with_sharp=with_sharp, with_anchors=with_anchors)
     data_sh = (NamedSharding(spar.mesh, P(spar.data_axis))
                if spar.data_axis else None)
 
@@ -578,7 +707,11 @@ def _spatial_grad_fn(spar: SpatialCanvas, sampler, clip_cfg, settings):
         wy = jax.lax.with_sharding_constraint(spar.pad_wy(wy),
                                               spar.wy_sharding())
         out = cuts_fn(gen_params, wy, wx, shift=shift)
-        cuts, sharp = out if with_sharp else (out, None)
+        if not (with_sharp or with_anchors):
+            out = (out,)
+        cuts, rest = out[0], list(out[1:])
+        sharp = rest.pop(0) if with_sharp else None
+        anchors = rest.pop(0) if with_anchors else None
         cuts = transform(k_tf, cuts.astype(settings.clip_dtype))
         if data_sh is not None:
             cuts = jax.lax.with_sharding_constraint(cuts, data_sh)
@@ -586,13 +719,14 @@ def _spatial_grad_fn(spar: SpatialCanvas, sampler, clip_cfg, settings):
                            dtype=settings.clip_dtype)
         if data_sh is not None:
             enc = jax.lax.with_sharding_constraint(enc, data_sh)
-        return enc.astype(jnp.float32), sharp
+        return enc.astype(jnp.float32), sharp, anchors
 
     def loss_fn(gen_params, clip_params, aest_params, prompts, prev_enc,
                 key, step_i):
         k_noise, k1, k2 = jax.random.split(key, 3)
         shift = _noise_shift(k_noise)
-        out_enc, sharp = encode_cuts(gen_params, clip_params, k1, shift)
+        out_enc, sharp, anchors = encode_cuts(gen_params, clip_params, k1,
+                                              shift)
         loss = jnp.float32(0.0)
         if with_sharp:
             loss = loss - settings.sharp * sharp
@@ -605,10 +739,16 @@ def _spatial_grad_fn(spar: SpatialCanvas, sampler, clip_cfg, settings):
                 group = group + wts[j] * sim_func(embs[j:j + 1], out_enc,
                                                   settings.sim)
             loss = loss + coeff * group
+        if with_anchors:
+            # illustrip.py:438-440 empirical brightness/contrast pins
+            # (step.py:123-126) from the sharded image's channel moments
+            mean_c, std_c = anchors
+            loss = loss + jnp.mean(jnp.abs(mean_c - 0.45))
+            loss = loss + jnp.mean(jnp.abs(std_c - 0.17))
         if settings.enforce != 0:
             # same decode shift as the first pass (dense path decodes the
             # image once and slices it twice — step.py:96-98)
-            enc2, _ = encode_cuts(gen_params, clip_params, k2, shift)
+            enc2, _, _ = encode_cuts(gen_params, clip_params, k2, shift)
             loss = loss - settings.enforce * sim_func(out_enc, enc2,
                                                       settings.sim)
         if settings.expand > 0:

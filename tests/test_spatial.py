@@ -562,3 +562,111 @@ def test_illustra_spatial_cli(tmp_path):
     assert spec.shape == (1, 3, 64, 49, 2)
     mp4s = [f for f in os.listdir(out) if f.endswith(".mp4")]
     assert "scenes.mp4" in mp4s   # assembled crossfade
+
+
+# ---- spatially-sharded RGB (illustrip default --gen RGB) --------------------
+
+def test_spatial_rgb_cut_anchor_grad_parity():
+    """SpatialRGB == dense PixelParameterizer: cutouts, the per-channel
+    anchor moments, render, and gradients (container pad rows get exactly
+    zero grad; H deliberately not divisible by the mesh)."""
+    from aphantasia_tpu.parallel.spatial import SpatialRGB
+    from aphantasia_tpu.params.pixel import PixelParameterizer
+    size = (100, 96)
+    mesh = _mesh()
+    spar = SpatialRGB(size, 1.8, mesh)
+    assert spar.h_container == 104
+    par = PixelParameterizer(size, 1.8)
+    params = par.init(jax.random.PRNGKey(0))
+    sampler = CutoutSampler(size, 5, 32, align="uniform", macro=0.3)
+    boxes = sampler.sample_boxes(jax.random.PRNGKey(1))
+    wy, wx = sampler.weight_matrices(boxes)
+    ref = np.asarray(_ref_cuts(par, params, wy, wx))
+
+    cuts_fn = jax.jit(spar.cut_fn(sampler, with_anchors=True))
+    out, (mc, sc) = cuts_fn(spar.shard(params), wy, wx)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=1e-4)
+    img = par.image(params)
+    np.testing.assert_allclose(np.asarray(mc),
+                               np.asarray(img.mean(axis=(0, 2, 3))),
+                               atol=2e-6)
+    np.testing.assert_allclose(np.asarray(sc),
+                               np.asarray(img.std(axis=(0, 2, 3), ddof=1)),
+                               atol=2e-6)
+    r = np.asarray(jax.jit(spar.render)(spar.shard(params)))
+    assert r.shape == (1, 3, 100, 96)
+    np.testing.assert_allclose(r, np.asarray(img), atol=2e-5, rtol=1e-4)
+
+    co = jax.random.normal(jax.random.PRNGKey(2), ref.shape)
+    g_ref = jax.grad(
+        lambda p: jnp.sum(_ref_cuts(par, p, wy, wx) * co))(params)
+    cf = spar.cut_fn(sampler)
+    g_sp = jax.grad(lambda p: jnp.sum(cf(p, wy, wx) * co))(spar.shard(params))
+    assert np.abs(np.asarray(g_sp[:, :, 100:])).max() == 0.0
+    np.testing.assert_allclose(np.asarray(spar.unpad(g_sp)),
+                               np.asarray(g_ref), atol=2e-5, rtol=1e-3)
+
+
+def test_spatial_rgb_frame_step_matches_dense():
+    """RGB-mode spatial frame step == dense build_frame_step: identity
+    decode, gathered grid_warp + frame_transform, anchor losses."""
+    from aphantasia_tpu.parallel.spatial import (SpatialRGB,
+                                                 build_spatial_frame_step)
+    from aphantasia_tpu.parallel.step import StepSettings, build_frame_step
+    from aphantasia_tpu.params.pixel import PixelParameterizer
+    from aphantasia_tpu.ops.optim import build_optimizer
+    from tests.test_step import TINY_CLIP
+    from aphantasia_tpu.models.clip.model import clip_init, encode_text
+    from aphantasia_tpu.models.clip.tokenizer import tokenize
+
+    mesh = _mesh()
+    size = (64, 96)
+    spar = SpatialRGB(size, 1.8, mesh)
+    par = PixelParameterizer(size, 1.8)
+    sampler = CutoutSampler(size, 4, 32, align="uniform")
+    cp = clip_init(jax.random.PRNGKey(0), TINY_CLIP)
+    toks = np.clip(tokenize(["rgb probe"], context_length=16), 0, 255)
+    prompts = ((encode_text(cp, TINY_CLIP, jnp.asarray(toks)),
+                jnp.ones((1,)), jnp.float32(-1.0)),)
+    settings = StepSettings(sim="cossim", transform="none", total_steps=4,
+                            rgb_anchors=True)
+    opt = build_optimizer("adam_custom", 0.05)
+    params = par.init(jax.random.PRNGKey(1))
+    pe0 = jnp.zeros((4, TINY_CLIP.embed_dim))
+    key = jax.random.PRNGKey(9)
+    motion = (jnp.float32(2.0), jnp.float32(1.0), jnp.float32(-1.0),
+              jnp.float32(1.02), jnp.float32(0.3))
+
+    dense_fn = build_frame_step(par, sampler, TINY_CLIP, settings, opt,
+                                "RGB", size, 2, smooth=False, contrast=1.1)
+    gp_d, _, pe_d, frame_d, losses_d = dense_fn(
+        params, opt.init(params), jnp.array(pe0), cp, None, prompts, key,
+        jnp.int32(1), motion)
+
+    sp_fn = build_spatial_frame_step(spar, sampler, TINY_CLIP, settings,
+                                     opt, 2, smooth=False, contrast=1.1)
+    sharded = spar.shard(par.init(jax.random.PRNGKey(1)))
+    gp_s, _, pe_s, frame_s, losses_s = sp_fn(
+        sharded, opt.init(sharded), jnp.array(pe0), cp, None, prompts, key,
+        jnp.int32(1), motion)
+
+    np.testing.assert_allclose(np.asarray(losses_s), np.asarray(losses_d),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(spar.unpad(gp_s)),
+                               np.asarray(gp_d), rtol=2e-3, atol=2e-5)
+    assert np.abs(np.asarray(frame_s).astype(int)
+                  - np.asarray(frame_d).astype(int)).max() <= 1
+
+
+def test_illustrip_spatial_rgb_cli(tmp_path):
+    """illustrip --spatial with the default --gen RGB end-to-end."""
+    import os
+    from aphantasia_tpu.cli.illustrip import main
+    out = str(tmp_path / "isrgb")
+    main(["-t", "test", "--size", "96-64", "--steps", "3", "--opt_step", "1",
+          "--samples", "3", "--gen", "RGB", "--out_dir", out, "-nv",
+          "--transform", "none", "--spatial", "4", "--fstep", "2"])
+    work = [os.path.join(out, d) for d in os.listdir(out)][0]
+    frames = [f for f in os.listdir(os.path.join(work, "ttt"))
+              if f.endswith(".jpg")]
+    assert len(frames) == 3
