@@ -140,6 +140,18 @@ def resblock_flat(x, p, n_heads, t):
 
 
 def transformer_flat(x, blocks, n_heads, t):
+    import os
+    if os.environ.get("APHANTASIA_FUSED_BLOCK") == "1":
+        # fused half-block kernels (ops/pallas_block.py): LN + projections
+        # folded around the attention core / MLP so per-layer activations
+        # never round-trip HBM; weights stay VMEM-resident across row
+        # blocks.  Opt-in until TPU-validated.
+        from aphantasia_tpu.ops.pallas_block import resblock_flat_fused
+        from aphantasia_tpu.ops.pallas_attn import flat_geometry
+        bb = flat_geometry(t, x.dtype)
+        for p in blocks:
+            x = resblock_flat_fused(x, p, n_heads, t, bb)
+        return x
     for p in blocks:
         x = resblock_flat(x, p, n_heads, t)
     return x
