@@ -234,9 +234,10 @@ def _attn_half_args(x, g, b, in_w, in_b, out_w, out_b):
     f32)."""
     dt = x.dtype
     f32 = jnp.float32
-    return (g.astype(f32), b.astype(f32), in_w.astype(dt), in_b.astype(dt),
-            out_w.astype(dt),
-            None if out_b is None else out_b.astype(dt))
+    r2 = lambda v: v.reshape(1, -1)   # 1D vectors -> (1,n): Mosaic wants 2D
+    return (r2(g.astype(f32)), r2(b.astype(f32)), in_w.astype(dt),
+            r2(in_b.astype(dt)), out_w.astype(dt),
+            None if out_b is None else r2(out_b.astype(dt)))
 
 
 def _attn_half_fwd(x, g, b, in_w, in_b, out_w, out_b, n_heads, t, bb):
@@ -302,9 +303,10 @@ def _mlp_half_fwd(x, g, b, fc_w, fc_b, p_w, p_b, block):
     rp = xp.shape[0]
     dt = x.dtype
     f32 = jnp.float32
-    gc, bc = g.astype(f32), b.astype(f32)
-    fcw, fcb = fc_w.astype(dt), fc_b.astype(dt)
-    pw, pb = p_w.astype(dt), p_b.astype(dt)
+    r2 = lambda v: v.reshape(1, -1)
+    gc, bc = r2(g.astype(f32)), r2(b.astype(f32))
+    fcw, fcb = fc_w.astype(dt), r2(fc_b.astype(dt))
+    pw, pb = p_w.astype(dt), r2(p_b.astype(dt))
     y = pl.pallas_call(
         _mlp_half_fwd_kernel,
         grid=(rp // block,),
@@ -326,8 +328,9 @@ def _mlp_half_bwd(block, res, dy):
     rp = xp.shape[0]
     dt = x.dtype
     f32 = jnp.float32
-    gc, bc = g.astype(f32), b.astype(f32)
-    fcw, fcb = fc_w.astype(dt), fc_b.astype(dt)
+    r2 = lambda v: v.reshape(1, -1)
+    gc, bc = r2(g.astype(f32)), r2(b.astype(f32))
+    fcw, fcb = fc_w.astype(dt), r2(fc_b.astype(dt))
     pw = p_w.astype(dt)
     dx = pl.pallas_call(
         _mlp_half_bwd_kernel,
