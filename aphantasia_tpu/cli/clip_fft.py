@@ -231,12 +231,9 @@ def run(a):
         # cutout contraction distributed.  Composes with --noise (the shift
         # is spectrum-shaped — the tensor already sharded), --dwt
         # (halo-exchange inverse DWT, parallel/spatial_dwt.py), --dualmod
-        # (both towers in the scan body) and --mesh (cutouts over 'data',
-        # CLIP weights over 'model').  --sync needs the full frame for
-        # LPIPS and stays out of scope here.
-        if a.sync > 0:
-            raise SystemExit("--spatial is incompatible with --sync "
-                             "(LPIPS sync needs the full frame)")
+        # (both towers in the scan body), --mesh (cutouts over 'data',
+        # CLIP weights over 'model') and --sync (LPIPS on the sharded
+        # full-frame decode, spar.image).
         from aphantasia_tpu.parallel.mesh import (make_mesh_spatial,
                                                   shard_clip_params)
         from aphantasia_tpu.parallel.spatial import (SpatialFFT,
@@ -334,7 +331,7 @@ def run(a):
                      else ())
             gen_params, opt_state, prev_enc, frames_u8, losses = sloop(
                 gen_params, opt_state, prev_enc, clip1.params, aest,
-                prompts1, *extra, k_loop, jnp.int32(c * nf))
+                lpips_bundle, prompts1, *extra, k_loop, jnp.int32(c * nf))
             writer.save_batch(
                 [os.path.join(tempdir, '%04d.jpg' % (c * nf + j))
                  for j in range(nf)], frames_u8, tone)
@@ -368,14 +365,9 @@ def run(a):
             clip_w = clip2.params if use2 else clip1.params
             aest_w = aest2 if use2 else aest
             prompts = prompts2 if use2 else prompts1
-            if spar is not None:
-                gen_params, opt_state, prev_enc, loss = step(
-                    gen_params, opt_state, prev_enc, clip_w, aest_w,
-                    prompts, k_step, jnp.int32(i // a.opt_step))
-            else:
-                gen_params, opt_state, prev_enc, loss = step(
-                    gen_params, opt_state, prev_enc, clip_w, aest_w,
-                    lpips_bundle, prompts, k_step, jnp.int32(i // a.opt_step))
+            gen_params, opt_state, prev_enc, loss = step(
+                gen_params, opt_state, prev_enc, clip_w, aest_w,
+                lpips_bundle, prompts, k_step, jnp.int32(i // a.opt_step))
 
             if i % a.opt_step == 0:
                 # device array handed straight to the async writer — the

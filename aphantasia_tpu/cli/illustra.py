@@ -325,13 +325,10 @@ def run(a):
                 for c in range(n_frames_total // nf):
                     extra = ((clip2.params, aest2, prompts2)
                              if clip2 is not None else ())
-                    # the spatial loop takes no lpips bundle (illustra never
-                    # uses --sync; the dense loop keeps the slot for parity)
-                    lp = () if spar is not None else (None,)
                     (gen_params, opt_state, prev_enc, frames_u8,
                      loss) = chunk_loop(
                         gen_params, opt_state, prev_enc, clip1.params, aest,
-                        *lp, prompts1, *extra, k_scene, jnp.int32(c * nf))
+                        None, prompts1, *extra, k_scene, jnp.int32(c * nf))
                     writer.save_batch(
                         [os.path.join(tempdir, '%04d.jpg' % (c * nf + j))
                          for j in range(nf)], frames_u8)
@@ -343,11 +340,10 @@ def run(a):
                     use2 = clip2 is not None and i in dm_nums
                     step = step2 if use2 else step1
                     clip_w = clip2.params if use2 else clip1.params
-                    args = (gen_params, opt_state, prev_enc, clip_w,
-                            aest2 if use2 else aest)
-                    args += (() if spar is not None else (None,))
                     gen_params, opt_state, prev_enc, loss = step(
-                        *args, prompts2 if use2 else prompts1, k_step,
+                        gen_params, opt_state, prev_enc, clip_w,
+                        aest2 if use2 else aest, None,
+                        prompts2 if use2 else prompts1, k_step,
                         jnp.int32(i))
                     if i % a.save_step == 0:
                         writer.save(os.path.join(

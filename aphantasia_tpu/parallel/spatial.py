@@ -245,6 +245,25 @@ class SpatialCanvas:
         h = self.size[0]
         return out[:, :, :h] if self.h_container != h else out
 
+    def image(self, params, shift=None):
+        """Differentiable full-frame decode — the sharded counterpart of the
+        dense `parameterizer.image(params, shift=shift)` (incl. the decode
+        noise shift): per-shard decode + color head, output H-sharded
+        [1,3,H,W].  Feeds the LPIPS sync term inside the training step
+        (reference clip_fft.py:268-270; dense path step.py:112-118)."""
+
+        def _local(params_loc, aux_loc):
+            img = self._decode_local(params_loc, aux_loc)
+            return to_valid_rgb(img, colors=self.colors)
+
+        fn = shard_map(_local, mesh=self.mesh,
+                       in_specs=(self.param_specs(), self.aux_specs()),
+                       out_specs=P(None, None, "spatial", None),
+                       )
+        out = fn(params, self._make_aux(shift))
+        h = self.size[0]
+        return out[:, :, :h] if self.h_container != h else out
+
 
 class SpatialFFT(SpatialCanvas):
     """FFT parameterizer decode + cutout, distributed over mesh['spatial'].
@@ -639,7 +658,7 @@ def build_spatial_frame_step(spar: SpatialFFT, sampler, clip_cfg, settings,
             gp, os_, pe = carry
             k = jax.random.fold_in(key, s)
             (loss, out_enc), grads = grad_fn(gp, clip_params, aest_params,
-                                             prompts, pe, k, step_i)
+                                             None, prompts, pe, k, step_i)
             updates, os_ = optimizer.update(grads, os_, gp)
             gp = jax.tree_util.tree_map(lambda p, u: p + u, gp, updates)
             return (gp, os_, out_enc), loss
@@ -680,7 +699,9 @@ def _spatial_grad_fn(spar: SpatialCanvas, sampler, clip_cfg, settings):
     and the chunked-frames builders below."""
     from aphantasia_tpu.ops.augs import get_transform
     from aphantasia_tpu.ops.losses import sim_func, aesthetic_apply
+    from aphantasia_tpu.ops.resize import resize_bicubic
     from aphantasia_tpu.models.clip.model import encode_image
+    from aphantasia_tpu.models.lpips import lpips_apply
 
     transform = get_transform(settings.transform)
     with_sharp = settings.sharp != 0
@@ -721,8 +742,8 @@ def _spatial_grad_fn(spar: SpatialCanvas, sampler, clip_cfg, settings):
             enc = jax.lax.with_sharding_constraint(enc, data_sh)
         return enc.astype(jnp.float32), sharp, anchors
 
-    def loss_fn(gen_params, clip_params, aest_params, prompts, prev_enc,
-                key, step_i):
+    def loss_fn(gen_params, clip_params, aest_params, lpips_bundle, prompts,
+                prev_enc, key, step_i):
         k_noise, k1, k2 = jax.random.split(key, 3)
         shift = _noise_shift(k_noise)
         out_enc, sharp, anchors = encode_cuts(gen_params, clip_params, k1,
@@ -739,6 +760,16 @@ def _spatial_grad_fn(spar: SpatialCanvas, sampler, clip_cfg, settings):
                 group = group + wts[j] * sim_func(embs[j:j + 1], out_enc,
                                                   settings.sim)
             loss = loss + coeff * group
+        if settings.sync > 0 and lpips_bundle is not None:
+            # LPIPS sync (step.py:112-118): decode the full sharded frame
+            # with the SAME shift, downsample to the half-res target and
+            # let GSPMD place the replicated VGG pipeline
+            lpips_params, img_in = lpips_bundle       # img_in: half-res target
+            prog = (settings.total_steps - step_i) / settings.total_steps
+            img = spar.image(gen_params, shift=shift)
+            half = resize_bicubic(img, img_in.shape[-2:])
+            loss = loss + prog * settings.sync * jnp.mean(
+                lpips_apply(lpips_params, half, img_in, normalize=True))
         if with_anchors:
             # illustrip.py:438-440 empirical brightness/contrast pins
             # (step.py:123-126) from the sharded image's channel moments
@@ -764,20 +795,23 @@ def build_spatial_train_step(spar: SpatialCanvas, sampler, clip_cfg, settings,
                              optimizer):
     """clip_fft-style training step over the spatially-sharded decode+cut.
 
-    Mirrors parallel/step.py:build_train_step for the loss terms that
-    operate on cutouts/encodings (prompt groups, aesthetic, enforce,
-    expand); image-space terms (sharp, sync, noise shift) need the full
-    frame and are rejected by the CLI before getting here.
+    Mirrors parallel/step.py:build_train_step: cutout/encoding terms
+    (prompt groups, aesthetic, enforce, expand) ride the sharded cut
+    contraction; image-space terms run distributed too — sharp via the
+    one-row halo exchange, the noise shift in the params' sharded layout,
+    and LPIPS sync on the sharded full-frame decode (spar.image).
 
     Returns train_step(gen_params, opt_state, prev_enc, clip_params,
-    aest_params, prompts, key, step_i) -> (gen_params, opt_state, out_enc,
-    loss); gen_params live Wf-sharded (spar.init / spar.shard)."""
+    aest_params, lpips_bundle, prompts, key, step_i) -> (gen_params,
+    opt_state, out_enc, loss) — the dense build_train_step signature;
+    gen_params live Wf-sharded (spar.init / spar.shard)."""
     grad_fn = _spatial_grad_fn(spar, sampler, clip_cfg, settings)
 
     def train_step(gen_params, opt_state, prev_enc, clip_params, aest_params,
-                   prompts, key, step_i):
+                   lpips_bundle, prompts, key, step_i):
         (loss, out_enc), grads = grad_fn(gen_params, clip_params, aest_params,
-                                         prompts, prev_enc, key, step_i)
+                                         lpips_bundle, prompts, prev_enc,
+                                         key, step_i)
         updates, opt_state = optimizer.update(grads, opt_state, gen_params)
         gen_params = jax.tree_util.tree_map(lambda p, u: p + u,
                                             gen_params, updates)
@@ -803,15 +837,16 @@ def build_spatial_train_loop_frames(spar: SpatialCanvas, sampler, clip_cfg,
     after `prompts`: (clip_params2, aest_params2, prompts2).
 
     Returns loop(gen_params, opt_state, prev_enc, clip_params, aest_params,
-    prompts, [*dual2,] key, frame0) -> (gen_params, opt_state, prev_enc,
-    frames [n_frames,H,W,3] uint8, losses [n_frames*opt_step])."""
+    lpips_bundle, prompts, [*dual2,] key, frame0) -> (gen_params, opt_state,
+    prev_enc, frames [n_frames,H,W,3] uint8, losses [n_frames*opt_step]) —
+    the dense build_train_loop_frames signature."""
     grad_fn = _spatial_grad_fn(spar, sampler, clip_cfg, settings)
     if dual is not None:
         cfg2, dm_every = dual
         grad_fn2 = _spatial_grad_fn(spar, sampler, cfg2, settings)
 
     def loop(gen_params, opt_state, prev_enc, clip_params, aest_params,
-             prompts, *rest):
+             lpips_bundle, prompts, *rest):
         if dual is not None:
             clip_params2, aest_params2, prompts2, key, frame0 = rest
         else:
@@ -825,16 +860,16 @@ def build_spatial_train_loop_frames(spar: SpatialCanvas, sampler, clip_cfg,
             si = fstep if step_index == "frame" else gstep
             if dual is None:
                 (loss, out_enc), grads = grad_fn(gp, clip_params,
-                                                 aest_params, prompts, pe,
-                                                 k, si)
+                                                 aest_params, lpips_bundle,
+                                                 prompts, pe, k, si)
             else:
                 use2 = jnp.logical_and(gstep % dm_every == 0, gstep > 0)
                 (loss, out_enc), grads = jax.lax.cond(
                     use2,
                     lambda _: grad_fn2(gp, clip_params2, aest_params2,
-                                       prompts2, pe, k, si),
+                                       lpips_bundle, prompts2, pe, k, si),
                     lambda _: grad_fn(gp, clip_params, aest_params,
-                                      prompts, pe, k, si),
+                                      lpips_bundle, prompts, pe, k, si),
                     None)
             updates, os_ = optimizer.update(grads, os_, gp)
             gp = jax.tree_util.tree_map(lambda p, u: p + u, gp, updates)

@@ -167,7 +167,7 @@ def test_spatial_grad_fn_noise_runs():
         settings = StepSettings(sim="cossim", transform="none", noise=noise,
                                 total_steps=2)
         gfn = jax.jit(_spatial_grad_fn(spar, sampler, TINY_CLIP, settings))
-        (loss, enc), g = gfn(params, clip_params, None, prompts,
+        (loss, enc), g = gfn(params, clip_params, None, None, prompts,
                              jnp.zeros((4, TINY_CLIP.embed_dim)),
                              jax.random.PRNGKey(2), jnp.int32(0))
         assert np.isfinite(float(loss))
@@ -215,7 +215,7 @@ def test_spatial_dualmod_chunked_loop():
                                            settings, opt, opt_step=1,
                                            n_frames=4, dual=(TINY2, 2))
     gp, os_, pe, frames, losses = loop(params0, opt.init(params0), pe0,
-                                       cp1, None, prompts1, cp2, None,
+                                       cp1, None, None, prompts1, cp2, None,
                                        prompts2, key, jnp.int32(0))
     assert frames.shape[0] == 4 and np.isfinite(np.asarray(losses)).all()
 
@@ -230,7 +230,7 @@ def test_spatial_dualmod_chunked_loop():
         k = jax.random.fold_in(key, i)
         use2 = (i % 2 == 0) and i > 0
         gfn, cp, pr = (gfn2, cp2, prompts2) if use2 else (gfn1, cp1, prompts1)
-        (loss, enc), g = gfn(gp2, cp, None, pr, pe2, k, jnp.int32(i))
+        (loss, enc), g = gfn(gp2, cp, None, None, pr, pe2, k, jnp.int32(i))
         upd, os2 = opt.update(g, os2, gp2)
         gp2 = jax.tree_util.tree_map(lambda p, u: p + u, gp2, upd)
         pe2 = enc
@@ -562,6 +562,73 @@ def test_illustra_spatial_cli(tmp_path):
     assert spec.shape == (1, 3, 64, 49, 2)
     mp4s = [f for f in os.listdir(out) if f.endswith(".mp4")]
     assert "scenes.mp4" in mp4s   # assembled crossfade
+
+
+# ---- spatial --sync (LPIPS on the sharded full-frame decode) ----------------
+
+def test_spatial_sync_loss_matches_dense():
+    """_spatial_grad_fn with an LPIPS sync bundle == dense build_loss_fn:
+    the sharded full-frame decode (spar.image) feeds the same prog-decayed
+    LPIPS term (reference clip_fft.py:268-270)."""
+    from aphantasia_tpu.parallel.spatial import _spatial_grad_fn
+    from aphantasia_tpu.parallel.step import StepSettings, build_loss_fn
+    from aphantasia_tpu.models.lpips import lpips_load
+    from tests.test_lpips import _random_states
+    from tests.test_step import TINY_CLIP
+    from aphantasia_tpu.models.clip.model import clip_init, encode_text
+    from aphantasia_tpu.models.clip.tokenizer import tokenize
+
+    mesh = _mesh()
+    size = (64, 96)
+    spar = SpatialFFT(size, 1.5, 1.8, mesh)
+    par = FFTParameterizer(size, 1.5, 1.8)
+    sampler = CutoutSampler(size, 4, 32, align="uniform")
+    cp = clip_init(jax.random.PRNGKey(0), TINY_CLIP)
+    toks = np.clip(tokenize(["sync probe"], context_length=16), 0, 255)
+    prompts = ((encode_text(cp, TINY_CLIP, jnp.asarray(toks)),
+                jnp.ones((1,)), jnp.float32(-1.0)),)
+    lp = lpips_load(*_random_states(3))
+    img_in = jax.random.uniform(jax.random.PRNGKey(4), (1, 3, 32, 48))
+    bundle = (lp, img_in)
+    settings = StepSettings(sim="cossim", transform="none", sync=1.5,
+                            total_steps=4)
+    params = par.init(jax.random.PRNGKey(1))
+    pe = jnp.zeros((4, TINY_CLIP.embed_dim))
+    key = jax.random.PRNGKey(8)
+
+    dense = build_loss_fn(par, sampler, TINY_CLIP, settings)
+    loss_d, _ = jax.jit(dense)(params, cp, None, bundle, prompts, pe, key,
+                               jnp.int32(1))
+
+    gfn = jax.jit(_spatial_grad_fn(spar, sampler, TINY_CLIP, settings))
+    (loss_s, _), g = gfn(spar.shard(params), cp, None, bundle, prompts,
+                         pe, key, jnp.int32(1))
+    np.testing.assert_allclose(float(loss_s), float(loss_d), rtol=2e-4)
+    assert np.isfinite(np.asarray(g)).all()
+
+    # prog decay: the sync term shrinks as step_i grows (step 3 of 4)
+    (loss_late, _), _ = gfn(spar.shard(params), cp, None, bundle, prompts,
+                            pe, key, jnp.int32(3))
+    assert float(loss_late) < float(loss_s)
+
+
+def test_clip_fft_spatial_sync_cli(tmp_path):
+    """clip_fft --spatial --sync end-to-end: LPIPS sync on the sharded
+    canvas (random-init VGG in this hermetic env; path coverage)."""
+    import os
+    from imageio import imsave
+    from aphantasia_tpu.cli.clip_fft import main
+    img = (np.random.RandomState(0).rand(64, 96, 3) * 255).astype(np.uint8)
+    src = str(tmp_path / "src.png")
+    imsave(src, img)
+    out = str(tmp_path / "sps")
+    main(["-t", "test", "-i", src, "--sync", "0.4", "--size", "96-64",
+          "--steps", "4", "--samples", "4", "--out_dir", out, "-nv",
+          "--transform", "none", "--spatial", "4"])
+    run = [os.path.join(out, d) for d in os.listdir(out)
+           if os.path.isdir(os.path.join(out, d))][0]
+    frames = [f for f in os.listdir(run) if f.endswith(".jpg")]
+    assert len(frames) == 4
 
 
 # ---- spatially-sharded RGB (illustrip default --gen RGB) --------------------
