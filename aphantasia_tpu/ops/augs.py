@@ -8,19 +8,20 @@ rotate(±30°, 20x zero-weighted) + CLIP normalize, transforms.py:165-170),
 
 Re-architected TPU-first: the reference applies torchvision transforms per
 cutout in a Python loop; here every random parameter is an [S]-array under
-a threaded PRNG key, and all geometric stages collapse into ONE per-sample
-affine applied by the separable LDU warp (ops/sep_warp.py — FFT-phase
-shears + scale matmuls).  XLA TPU gathers are unusable in the hot path
-(the exact 4-tap warp in ops/perspective.py measured 0.65s/step fwd-only
-inside the full program; its autodiff scatter ~3.5s/step), hence the
-gather-free machinery.  The perspective DRAW is torchvision-exact
-(integer randint displacements, true homography solve); the warp applies
-its per-sample affine fit.  Deviations (documented + measured in
-tests/test_aug_fidelity.py): per-sample projective bending beyond the
-fit; erasing commutes with the warp; one resample for the composed
-geometry where the reference resamples per stage; 'elastic' uses real
-smooth separable displacements (the reference passes a zero noise field
-to kornia — an identity warp, known-bug list SURVEY.md §7).
+a threaded PRNG key.  XLA TPU gathers are unusable in the hot path (the
+exact 4-tap warp in ops/perspective.py measured 0.65s/step fwd-only
+inside the full program; its autodiff scatter ~3.5s/step), so all warps
+are gather-free: the perspective stage of `fast` runs EXACT torchvision
+semantics through the banded one-hot-matmul Pallas kernel
+(ops/pallas_persp.py — draw and warp both exact, torch-golden in
+tests/test_aug_fidelity.py), and every affine stage collapses into ONE
+per-sample affine applied by the separable LDU warp (ops/sep_warp.py —
+FFT-phase shears + scale matmuls).  Remaining deviations (documented +
+measured in tests/test_aug_fidelity.py): the affine stages' interpolant
+is spectral (sinc) where torch's is bilinear; erasing commutes with the
+affine warp in custom/elastic; 'elastic' uses real smooth separable
+displacements (the reference passes a zero noise field to kornia — an
+identity warp, known-bug list SURVEY.md §7).
 """
 from __future__ import annotations
 
@@ -90,30 +91,41 @@ def _jitter_affine(key, s, d):
 
 
 def transforms_fast(key, cuts):
-    """perspective(0.33,p=0.2) ∘ rotate(±30°,20x0), then erasing(p=0.2),
-    then CLIP normalize (transforms.py:165-170).
+    """perspective(0.33, p=0.2), erasing(p=0.2), rotate(±30°, 20x0), CLIP
+    normalize — the reference's exact stage order (transforms.py:165-170).
 
-    The perspective draw is torchvision-EXACT (ops/perspective.py: integer
-    randint corner displacements, true 8-dof homography — VERDICT r1
-    item 3; the r1 code drew continuous displacements and fitted those).
-    The warp itself runs through the gather-free separable LDU machinery
-    at the least-squares affine fit of that exact homography:
-    `homography_warp` (the op-level exact 4-tap warp, golden-tested
-    against torch in tests/test_perspective.py) measured 0.65s/step via
-    XLA's TPU gather inside the full training program — ~15x the whole
-    step — so per-sample projective bending is the one remaining
-    deviation (measured in tests/test_aug_fidelity.py).  A Pallas one-hot
-    banded-matmul kernel is the known exact-and-fast path (docs/
-    ROUND2_NOTES.md)."""
+    The perspective stage is EXACT (VERDICT r1 item 3): torchvision-exact
+    draw (ops/perspective.py — integer randint corner displacements, true
+    8-dof homography) applied by the banded one-hot-matmul Pallas kernel
+    (ops/pallas_persp.py — gather-free 4-tap bilinear + fill mask,
+    pl.when-skipped for the 80% of samples whose Bernoulli fails, just as
+    torchvision returns those unchanged).  Erasing then rotation follow in
+    torch's own order — torchvision resamples perspective and rotation
+    separately too, so the two-pass structure matches; the rotation's
+    interpolant (separable LDU FFT-phase shears, ops/sep_warp.py, vs
+    torch's bilinear) is the one remaining deviation, measured in
+    tests/test_aug_fidelity.py.  APHANTASIA_AFFINE_PERSP=1 restores the
+    r1 least-squares affine-fit composition (single fused warp) for
+    perf A/B on the TPU."""
+    import os
     s, c, h, w = cuts.shape
     k1, k2, k3 = jax.random.split(key, 3)
     from aphantasia_tpu.ops.perspective import (
         perspective_endpoints, perspective_coeffs, affine_fit_centered)
     start, end = perspective_endpoints(k1, s, h, w, distortion=0.33, p=0.2)
-    aff_p = affine_fit_centered(perspective_coeffs(start, end), h, w)
-    aff = _compose(aff_p, random_rotate_affine(k2, s))
-    cuts = affine_warp(cuts, aff, pad=56, compute_dtype=jnp.bfloat16)
+    coef = perspective_coeffs(start, end)
+    if os.environ.get("APHANTASIA_AFFINE_PERSP"):
+        aff = _compose(affine_fit_centered(coef, h, w),
+                       random_rotate_affine(k2, s))
+        cuts = affine_warp(cuts, aff, pad=56, compute_dtype=jnp.bfloat16)
+        cuts = random_erasing(k3, cuts)
+        return clip_normalize(cuts)
+    from aphantasia_tpu.ops.pallas_persp import perspective_warp
+    flags = (jnp.abs(end - start[None]).max((1, 2)) > 0).astype(jnp.int32)
+    cuts = perspective_warp(cuts, coef, flags)
     cuts = random_erasing(k3, cuts)
+    cuts = affine_warp(cuts, random_rotate_affine(k2, s), pad=56,
+                       compute_dtype=jnp.bfloat16)
     return clip_normalize(cuts)
 
 

@@ -64,36 +64,44 @@ def _smooth_image(key, h, w):
 
 
 def test_perspective_exact_vs_torchvision():
-    """The pipeline's perspective op (ops/perspective.homography_warp —
-    the VERDICT r1 item-3 replacement of the affine fit) must stay within
-    1e-3 of torchvision RandomPerspective semantics at full distortion
-    0.33, on white noise (no smoothness to hide interpolation error) AND
-    including borders (fill-mask semantics)."""
+    """BOTH perspective implementations — the XLA gather op
+    (ops/perspective.homography_warp) and the hot path's banded-matmul
+    Pallas kernel (ops/pallas_persp.perspective_warp, the default
+    transforms_fast stage) — must stay within 1e-3 of torchvision
+    RandomPerspective semantics at full distortion 0.33, on white noise
+    (no smoothness to hide interpolation error) AND including borders
+    (fill-mask semantics).  This is VERDICT r1 item 3's done-criterion."""
     torch = pytest.importorskip("torch")
     from aphantasia_tpu.ops.perspective import homography_warp
+    from aphantasia_tpu.ops.pallas_persp import perspective_warp
     from tests.test_perspective import (_torch_coeffs, _torch_perspective,
                                         _random_endpoints)
     h = w = 64
     rng = np.random.RandomState(3)
     img = rng.rand(1, 3, h, w).astype(np.float32)
-    worst = 0.0
+    worst_xla = worst_kern = 0.0
     for trial in range(8):
         start, end = _random_endpoints(rng, h, w, distortion=0.33)
         coeffs = _torch_coeffs(start, end)
         want = _torch_perspective(torch.from_numpy(img), coeffs).numpy()
-        got = np.asarray(homography_warp(jnp.asarray(img),
-                                         jnp.asarray(coeffs.numpy())[None]))
-        worst = max(worst, float(np.abs(got - want).max()))
-    assert worst <= 1e-3, worst
-    print(f" perspective exact-op max deviation: {worst:.2e}")
+        coef_j = jnp.asarray(coeffs.numpy())[None]
+        got = np.asarray(homography_warp(jnp.asarray(img), coef_j))
+        worst_xla = max(worst_xla, float(np.abs(got - want).max()))
+        got_k = np.asarray(perspective_warp(
+            jnp.asarray(img), coef_j, jnp.ones((1,), jnp.int32)))
+        worst_kern = max(worst_kern, float(np.abs(got_k - want).max()))
+    assert worst_xla <= 1e-3, worst_xla
+    assert worst_kern <= 1e-3, worst_kern
+    print(f" perspective max deviation vs torch: xla {worst_xla:.2e},"
+          f" kernel {worst_kern:.2e}")
 
 
 def test_pipeline_affine_fit_deviation_pinned():
-    """The hot path warps at the affine FIT of the exact homography
-    (XLA TPU gathers measured 0.65s/step for the 4-tap exact warp inside
-    the full program — ops/augs.py docstring).  Pin the measured deviation
-    of fit-vs-exact so it cannot silently grow; the DRAW distribution
-    itself is torchvision-exact either way."""
+    """The APHANTASIA_AFFINE_PERSP=1 fallback (the r1 hot path) warps at
+    the affine FIT of the exact homography.  Pin the measured deviation of
+    fit-vs-exact so it cannot silently grow; the default path has no such
+    deviation (the exact kernel, test above), and the DRAW distribution is
+    torchvision-exact either way."""
     from aphantasia_tpu.ops.perspective import (perspective_coeffs,
                                                 affine_fit_centered,
                                                 homography_warp)

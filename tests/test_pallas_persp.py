@@ -1,0 +1,114 @@
+"""Banded-matmul exact perspective kernel (ops/pallas_persp.py) vs the
+XLA gather op (ops/perspective.py:homography_warp — itself torch-golden in
+tests/test_perspective.py, so parity here transitively binds the kernel to
+torchvision RandomPerspective semantics; VERDICT r1 item 3).
+
+Runs in Pallas interpret mode on CPU; the same code compiles via Mosaic on
+the TPU.  White-noise inputs (point-exactness, nothing smooth to hide
+behind); the extreme-corner configs stress the compile-time window bound
+(k_fwd/k_bwd) at its measured family maximum.
+"""
+import itertools
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from aphantasia_tpu.ops.pallas_persp import perspective_warp, k_fwd, k_bwd
+from aphantasia_tpu.ops.perspective import (perspective_endpoints,
+                                            perspective_coeffs,
+                                            homography_warp)
+
+pytestmark = pytest.mark.slow
+
+
+def _family(key, s, h, w, p=0.7):
+    sp, ep = perspective_endpoints(key, s, h, w, distortion=0.33, p=p)
+    coef = perspective_coeffs(sp, ep)
+    flags = (jnp.abs(ep - sp[None]).max((1, 2)) > 0).astype(jnp.int32)
+    return coef, flags
+
+
+@pytest.mark.parametrize("hw", [(64, 48), (224, 224)])
+def test_persp_kernel_matches_xla_op(hw):
+    h, w = hw
+    s = 6
+    img = jax.random.normal(jax.random.PRNGKey(1), (s, 3, h, w), jnp.float32)
+    coef, flags = _family(jax.random.PRNGKey(0), s, h, w)
+    assert int(flags.sum()) not in (0, s)   # mixed identity-skip batch
+    out = jax.jit(perspective_warp)(img, coef, flags)
+    ref = homography_warp(img, coef)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3)
+    # non-drawn samples copy EXACTLY (torchvision returns input unchanged)
+    for i in np.where(np.asarray(flags) == 0)[0]:
+        assert (np.asarray(out[i]) == np.asarray(img[i])).all()
+
+    co = jax.random.normal(jax.random.PRNGKey(2), img.shape)
+    g1 = jax.jit(jax.grad(
+        lambda x: jnp.sum(perspective_warp(x, coef, flags) * co)))(img)
+    g2 = jax.grad(lambda x: jnp.sum(homography_warp(x, coef) * co))(img)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-3)
+
+
+def test_persp_kernel_extreme_corners_window_bound():
+    """The 2^8 extreme integer corner draws maximize the tile y-range
+    (the k_fwd/k_bwd sizing measurement) — parity must hold right at the
+    bound, forward and backward."""
+    h = w = 224
+    dw, dh = int(0.33 * (w // 2)), int(0.33 * (h // 2))
+    los_his = [(0, dw), (0, dh), (w - dw - 1, w - 1), (0, dh),
+               (w - dw - 1, w - 1), (h - dh - 1, h - 1),
+               (0, dw), (h - dh - 1, h - 1)]
+    pts = np.array(list(itertools.product(*[(lo, hi) for lo, hi in los_his])),
+                   np.float32)
+    pick = pts[np.random.RandomState(0).choice(len(pts), 8, replace=False)]
+    ep = jnp.asarray(pick).reshape(-1, 4, 2)
+    sp = jnp.asarray([[0, 0], [w - 1, 0], [w - 1, h - 1], [0, h - 1]],
+                     jnp.float32)
+    coef = perspective_coeffs(sp, ep)
+    s = coef.shape[0]
+    img = jax.random.normal(jax.random.PRNGKey(1), (s, 3, h, w), jnp.float32)
+    flags = jnp.ones((s,), jnp.int32)
+    out = jax.jit(perspective_warp)(img, coef, flags)
+    ref = homography_warp(img, coef)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3)
+    co = jax.random.normal(jax.random.PRNGKey(2), img.shape)
+    g1 = jax.jit(jax.grad(
+        lambda x: jnp.sum(perspective_warp(x, coef, flags) * co)))(img)
+    g2 = jax.grad(lambda x: jnp.sum(homography_warp(x, coef) * co))(img)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-3)
+
+
+def test_persp_kernel_window_formulas():
+    """Window bounds stay within the array and cover the measured family
+    maxima (0.728*h fwd / 0.243*h bwd + taps)."""
+    for h in (32, 64, 224, 288, 384):
+        assert k_fwd(h) <= h and k_fwd(h) >= min(h, int(0.728 * h) + 3)
+        assert k_bwd(h) <= h and k_bwd(h) >= min(h, int(0.243 * h) + 3)
+        assert k_fwd(h) % 16 == 0 or k_fwd(h) == h
+
+
+def test_persp_kernel_bf16_envelope():
+    """Production dtype path: bf16 taps/weights stay within the bf16
+    rounding envelope of the fp32 exact op."""
+    h, w, s = 64, 48, 4
+    img = jax.random.normal(jax.random.PRNGKey(1), (s, 3, h, w),
+                            jnp.float32)
+    coef, flags = _family(jax.random.PRNGKey(0), s, h, w, p=1.0)
+    out = perspective_warp(img.astype(jnp.bfloat16), coef, flags)
+    ref = homography_warp(img, coef)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref),
+                               atol=0.05)
+
+
+def test_persp_kernel_odd_height_falls_back():
+    """H not a multiple of 16 routes to the XLA gather op."""
+    h, w, s = 40, 48, 3
+    img = jax.random.normal(jax.random.PRNGKey(1), (s, 3, h, w), jnp.float32)
+    coef, flags = _family(jax.random.PRNGKey(0), s, h, w, p=1.0)
+    out = perspective_warp(img, coef, flags)
+    ref = homography_warp(img, coef)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
