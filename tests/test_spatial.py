@@ -612,6 +612,33 @@ def test_spatial_sync_loss_matches_dense():
     assert float(loss_late) < float(loss_s)
 
 
+def test_spatial_fast_transform_runs():
+    """--transform fast on the sharded canvas: the exact-perspective
+    Pallas kernel (ops/pallas_persp.py) runs inside shard_map on the
+    virtual mesh — finite loss, finite sharded grads."""
+    from aphantasia_tpu.parallel.spatial import _spatial_grad_fn
+    from aphantasia_tpu.parallel.step import StepSettings
+    from tests.test_step import TINY_CLIP
+    from aphantasia_tpu.models.clip.model import clip_init, encode_text
+    from aphantasia_tpu.models.clip.tokenizer import tokenize
+
+    mesh = _mesh()
+    spar = SpatialFFT((64, 96), 1.5, 1.8, mesh)
+    sampler = CutoutSampler((64, 96), 4, 32, align="uniform")
+    cp = clip_init(jax.random.PRNGKey(0), TINY_CLIP)
+    toks = np.clip(tokenize(["fast probe"], context_length=16), 0, 255)
+    emb = encode_text(cp, TINY_CLIP, jnp.asarray(toks))
+    prompts = ((emb, jnp.ones((1,)), jnp.float32(-1.0)),)
+    settings = StepSettings(sim="cossim", transform="fast", total_steps=2)
+    gfn = jax.jit(_spatial_grad_fn(spar, sampler, TINY_CLIP, settings))
+    params = spar.init(jax.random.PRNGKey(1))
+    (loss, _), g = gfn(params, cp, None, None, prompts,
+                       jnp.zeros((4, TINY_CLIP.embed_dim)),
+                       jax.random.PRNGKey(2), jnp.int32(0))
+    assert np.isfinite(float(loss))
+    assert np.isfinite(np.asarray(g)).all()
+
+
 def test_clip_fft_spatial_sync_cli(tmp_path):
     """clip_fft --spatial --sync end-to-end: LPIPS sync on the sharded
     canvas (random-init VGG in this hermetic env; path coverage)."""
