@@ -104,28 +104,38 @@ def transforms_fast(key, cuts):
     separately too, so the two-pass structure matches; the rotation's
     interpolant (separable LDU FFT-phase shears, ops/sep_warp.py, vs
     torch's bilinear) is the one remaining deviation, measured in
-    tests/test_aug_fidelity.py.  APHANTASIA_AFFINE_PERSP=1 restores the
-    r1 least-squares affine-fit composition (single fused warp) for
-    perf A/B on the TPU."""
-    import os
+    tests/test_aug_fidelity.py."""
     s, c, h, w = cuts.shape
     k1, k2, k3 = jax.random.split(key, 3)
-    from aphantasia_tpu.ops.perspective import (
-        perspective_endpoints, perspective_coeffs, affine_fit_centered)
+    from aphantasia_tpu.ops.perspective import (perspective_endpoints,
+                                                perspective_coeffs)
+    from aphantasia_tpu.ops.pallas_persp import perspective_warp
     start, end = perspective_endpoints(k1, s, h, w, distortion=0.33, p=0.2)
     coef = perspective_coeffs(start, end)
-    if os.environ.get("APHANTASIA_AFFINE_PERSP"):
-        aff = _compose(affine_fit_centered(coef, h, w),
-                       random_rotate_affine(k2, s))
-        cuts = affine_warp(cuts, aff, pad=56, compute_dtype=jnp.bfloat16)
-        cuts = random_erasing(k3, cuts)
-        return clip_normalize(cuts)
-    from aphantasia_tpu.ops.pallas_persp import perspective_warp
     flags = (jnp.abs(end - start[None]).max((1, 2)) > 0).astype(jnp.int32)
     cuts = perspective_warp(cuts, coef, flags)
     cuts = random_erasing(k3, cuts)
     cuts = affine_warp(cuts, random_rotate_affine(k2, s), pad=56,
                        compute_dtype=jnp.bfloat16)
+    return clip_normalize(cuts)
+
+
+def transforms_fast_affine(key, cuts):
+    """The r1 `fast` pipeline: perspective applied as its least-squares
+    affine fit, composed with the rotation into ONE LDU warp (single
+    resample), erasing after.  Selected by APHANTASIA_AFFINE_PERSP=1
+    (perf A/B) or automatically when the exact kernel does not compile on
+    the current backend (ops/pallas_persp.py:kernel_supported).  Same key
+    split as transforms_fast, so A/B runs share their draws."""
+    s, c, h, w = cuts.shape
+    k1, k2, k3 = jax.random.split(key, 3)
+    from aphantasia_tpu.ops.perspective import (
+        perspective_endpoints, perspective_coeffs, affine_fit_centered)
+    start, end = perspective_endpoints(k1, s, h, w, distortion=0.33, p=0.2)
+    aff_p = affine_fit_centered(perspective_coeffs(start, end), h, w)
+    aff = _compose(aff_p, random_rotate_affine(k2, s))
+    cuts = affine_warp(cuts, aff, pad=56, compute_dtype=jnp.bfloat16)
+    cuts = random_erasing(k3, cuts)
     return clip_normalize(cuts)
 
 
@@ -239,9 +249,20 @@ def normalize_only(key, cuts):
 def get_transform(name: str):
     """'fast' | 'custom' | 'elastic' | 'lucent' | 'openai' | 'none' ->
     fn(key, cuts) (selection logic parity: clip_fft.py:161-171; lucent/
-    openai are the reference's legacy pipelines, transforms.py:118-143)."""
+    openai are the reference's legacy pipelines, transforms.py:118-143).
+
+    Called at program-BUILD time (before jit), so 'fast' can probe the
+    exact-perspective kernel on the real backend once and fall back to
+    the r1 affine-fit pipeline if Mosaic rejects it (or if
+    APHANTASIA_AFFINE_PERSP=1 asks for the A/B baseline)."""
+    import os
+    if name == "fast":
+        from aphantasia_tpu.ops.pallas_persp import kernel_supported
+        if (os.environ.get("APHANTASIA_AFFINE_PERSP")
+                or not kernel_supported()):
+            return transforms_fast_affine
+        return transforms_fast
     return {
-        "fast": transforms_fast,
         "custom": transforms_custom,
         "elastic": transforms_elastic,
         "lucent": transforms_lucent,

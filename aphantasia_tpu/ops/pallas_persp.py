@@ -275,6 +275,36 @@ def _bwd_call(g, coef, flags):
     )(flags, pbase, coef, g)
 
 
+@functools.lru_cache(maxsize=None)
+def kernel_supported(backend: str = None) -> bool:
+    """One-time build-time probe: compile + run a tiny fwd/bwd instance on
+    the current backend.  Mosaic support for this kernel's constructs
+    (scalar prefetch, dynamic sublane windows) has to be proven on the
+    real chip; on failure the augmentation pipeline falls back LOUDLY to
+    the r1 affine-fit path instead of taking down the whole program
+    (ops/augs.py:get_transform).  Keyed per backend; call OUTSIDE jit."""
+    backend = backend or jax.default_backend()
+    try:
+        img = jnp.zeros((2, 1, 2 * _TV, 8), jnp.float32)
+        coef = jnp.tile(jnp.asarray([[1, 0, 2, 0, 1, 1, 0, 0]],
+                                    jnp.float32), (2, 1))
+        flags = jnp.asarray([1, 0], jnp.int32)
+
+        def f(x):
+            return jnp.sum(_persp_core(x, coef, flags) ** 2)
+
+        jax.block_until_ready(jax.value_and_grad(f)(img))
+        return True
+    except Exception as e:  # pragma: no cover - hardware-dependent
+        print("!!" + "!" * 72)
+        print(f"!! pallas_persp kernel unsupported on backend {backend!r}:")
+        print(f"!!   {e!r}"[:200])
+        print("!! transforms_fast falls back to the affine-fit perspective "
+              "(r1 path).")
+        print("!!" + "!" * 72)
+        return False
+
+
 def perspective_warp(img, coef, flags=None):
     """Exact torchvision perspective of [S,C,H,W] by [S,8] coeffs.
 
