@@ -96,6 +96,16 @@ def stage_attn():
              APHANTASIA_ATTN_ROWS=rows)
 
 
+def stage_fused():
+    """Fused ViT half-block kernels (ops/pallas_block.py, opt-in until
+    TPU-validated): step cost with and without, at the best attn-rows."""
+    print("\n== baseline (unfused blocks) ==", flush=True)
+    _run([sys.executable, "scripts/profile_step.py", "--reps", "20"])
+    print("\n== APHANTASIA_FUSED_BLOCK=1 ==", flush=True)
+    _run([sys.executable, "scripts/profile_step.py", "--reps", "20"],
+         APHANTASIA_FUSED_BLOCK="1")
+
+
 def stage_bench():
     _run([sys.executable, "bench.py"])
 
@@ -105,7 +115,8 @@ def stage_video():
 
 
 STAGES = {"persp": stage_persp, "ab": stage_ab, "profile": stage_profile,
-          "attn": stage_attn, "bench": stage_bench, "video": stage_video}
+          "attn": stage_attn, "fused": stage_fused, "bench": stage_bench,
+          "video": stage_video}
 
 
 def main():
