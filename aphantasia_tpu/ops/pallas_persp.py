@@ -66,6 +66,14 @@ def k_fwd(h: int) -> int:
     return min(_round_up(int(np.ceil(0.73 * h)) + 6, 16), h)
 
 
+def k_small(h: int) -> int:
+    """Small-tier forward window: ~96% of DRAWN distortion-0.33 samples
+    have per-tile range <= 0.35*h (20k-draw measurement at h=224: p95 =
+    74 = 0.33*h), so a second pl.when tier at this window cuts the
+    expected matmul work ~2.1x; the rare wide draws take the k_fwd tier."""
+    return min(_round_up(int(0.36 * h), 16), h)
+
+
 def k_bwd(h: int) -> int:
     """Backward cotangent-row window: inverse-map row range (max 0.243*h)
     + interp/Jacobian margin."""
@@ -73,9 +81,9 @@ def k_bwd(h: int) -> int:
 
 
 def _corner_minmax(coef, h, w, tv, inverse: bool):
-    """[S, T] min over each 16-row tile of the source (or inverse-image)
-    y-position, from the 4 tile-corner evaluations (exact: the map is
-    Mobius, hence monotone, in u and in v separately)."""
+    """[S, T] (min, max) over each 16-row tile of the source (or
+    inverse-image) y-position, from the 4 tile-corner evaluations (exact:
+    the map is Mobius, hence monotone, in u and in v separately)."""
     t_tiles = h // tv
     us = jnp.asarray([0.5, w - 0.5], jnp.float32)                 # [2]
     v0 = jnp.arange(t_tiles, dtype=jnp.float32) * tv
@@ -93,13 +101,28 @@ def _corner_minmax(coef, h, w, tv, inverse: bool):
     else:
         _, sy = _src_positions(coef, uu.reshape(1, t_tiles, 4),
                                vv.reshape(1, t_tiles, 4))         # [S,T,4]
-    return sy.reshape(coef.shape[0], t_tiles, 4).min(-1)          # [S,T]
+    sy = sy.reshape(coef.shape[0], t_tiles, 4)
+    return sy.min(-1), sy.max(-1)                                 # [S,T] x2
 
 
 def _bases(coef, h, w, tv, k, inverse, margin):
-    mn = _corner_minmax(coef, h, w, tv, inverse)
+    mn, _ = _corner_minmax(coef, h, w, tv, inverse)
     yb = jnp.floor(mn).astype(jnp.int32) - margin
     return jnp.clip(yb, 0, max(h - k, 0))
+
+
+def _fwd_bases_tiered(coef, flags, h, w, tv, k1, k2):
+    """Refine the 0/1 Bernoulli flags into window tiers (1 = small k1,
+    2 = full k2) from the EXACT per-sample tile ranges, and clamp the
+    per-tile window bases to the tier's window size."""
+    mn, mx = _corner_minmax(coef, h, w, tv, inverse=False)
+    rng = (mx - mn).max(-1)                                       # [S]
+    tier = jnp.where(rng + 4.0 <= k1, 1, 2).astype(jnp.int32)
+    flags = flags * tier
+    kcap = jnp.where(flags == 1, max(h - k1, 0),
+                     max(h - k2, 0)).astype(jnp.int32)            # [S]
+    yb = jnp.floor(mn).astype(jnp.int32) - 1
+    return flags, jnp.clip(yb, 0, kcap[:, None])
 
 
 def _rational(coef_ref, uu, vv):
@@ -124,7 +147,7 @@ def _tap_sum(s, n):
 
 
 def _fwd_kernel(flags_ref, ybase_ref, coef_ref, img_ref, imgflat_ref,
-                out_ref, *, tv, k, h, w, c, cdtype):
+                out_ref, *, tv, k1, k2, h, w, c, cdtype):
     s = pl.program_id(0)
     t = pl.program_id(1)
     p = tv * w
@@ -133,8 +156,7 @@ def _fwd_kernel(flags_ref, ybase_ref, coef_ref, img_ref, imgflat_ref,
     def _copy():
         out_ref[0, :, 0, :] = imgflat_ref[0, :, 0, :]
 
-    @pl.when(flags_ref[s] != 0)
-    def _warp():
+    def _warp_body(k):
         yb = ybase_ref[s, t]
         # output-pixel lane grid: p = dv*w + u
         pi = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
@@ -155,6 +177,19 @@ def _fwd_kernel(flags_ref, ybase_ref, coef_ref, img_ref, imgflat_ref,
                 preferred_element_type=jnp.float32)              # [K, P]
             val = jnp.sum(acc * wy, axis=0, keepdims=True)       # [1, P]
             out_ref[0, ci, 0, :] = (val * mask)[0].astype(out_ref.dtype)
+
+    if k1 == k2:
+        @pl.when(flags_ref[s] != 0)
+        def _w():
+            _warp_body(k2)
+    else:
+        @pl.when(flags_ref[s] == 1)
+        def _w1():
+            _warp_body(k1)
+
+        @pl.when(flags_ref[s] == 2)
+        def _w2():
+            _warp_body(k2)
 
 
 def _bwd_kernel(flags_ref, pbase_ref, coef_ref, g_ref, out_ref, *,
@@ -210,12 +245,12 @@ def _prep(img, coef, flags):
 
 def _fwd_call(img, coef, flags):
     s, c, h, w = img.shape
-    tv, k = _TV, k_fwd(h)
+    tv, k1, k2 = _TV, k_small(h), k_fwd(h)
     t_tiles = h // tv
-    ybase = _bases(coef, h, w, tv, k, inverse=False, margin=1)
+    flags, ybase = _fwd_bases_tiered(coef, flags, h, w, tv, k1, k2)
     imgflat = img.reshape(s, c, t_tiles, tv * w)
-    kern = functools.partial(_fwd_kernel, tv=tv, k=k, h=h, w=w, c=c,
-                             cdtype=img.dtype)
+    kern = functools.partial(_fwd_kernel, tv=tv, k1=k1, k2=k2, h=h, w=w,
+                             c=c, cdtype=img.dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(s, t_tiles),
@@ -236,7 +271,7 @@ def _fwd_call(img, coef, flags):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((s, c, t_tiles, tv * w), img.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * s * c * k * w * tv * w * t_tiles,
+            flops=2 * s * c * k1 * w * tv * w * t_tiles,
             bytes_accessed=img.nbytes * 3,
             transcendentals=0),
         interpret=_interpret(),
@@ -285,10 +320,13 @@ def kernel_supported(backend: str = None) -> bool:
     (ops/augs.py:get_transform).  Keyed per backend; call OUTSIDE jit."""
     backend = backend or jax.default_backend()
     try:
-        img = jnp.zeros((2, 1, 2 * _TV, 8), jnp.float32)
-        coef = jnp.tile(jnp.asarray([[1, 0, 2, 0, 1, 1, 0, 0]],
-                                    jnp.float32), (2, 1))
-        flags = jnp.asarray([1, 0], jnp.int32)
+        img = jnp.zeros((3, 1, 2 * _TV, 8), jnp.float32)
+        # sample 0: y-scale 2 -> wide tile range (k_fwd tier); sample 1:
+        # small translate (k_small tier); sample 2: identity copy branch
+        coef = jnp.asarray([[1, 0, 0, 0, 2, 0, 0, 0],
+                            [1, 0, 2, 0, 1, 1, 0, 0],
+                            [1, 0, 0, 0, 1, 0, 0, 0]], jnp.float32)
+        flags = jnp.asarray([1, 1, 0], jnp.int32)
 
         def f(x):
             return jnp.sum(_persp_core(x, coef, flags) ** 2)

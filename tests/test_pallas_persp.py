@@ -81,6 +81,41 @@ def test_persp_kernel_extreme_corners_window_bound():
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-3)
 
 
+def test_persp_kernel_tier_mix():
+    """One batch spanning all three pl.when branches — identity copy,
+    small-window tier (typical draw) and full-window tier (extreme
+    corners) — must match the XLA op, fwd and bwd."""
+    from aphantasia_tpu.ops.pallas_persp import (_fwd_bases_tiered, k_small,
+                                                 k_fwd, _TV)
+    h = w = 224
+    dw, dh = int(0.33 * (w // 2)), int(0.33 * (h // 2))
+    # extreme quad (full-window tier), mild quad (small tier), identity
+    ep = jnp.asarray([
+        [[dw, dh], [w - dw - 1, 0], [w - 1, h - 1], [0, h - dh - 1]],
+        [[2, 1], [w - 3, 2], [w - 2, h - 2], [1, h - 3]],
+        [[0, 0], [w - 1, 0], [w - 1, h - 1], [0, h - 1]],
+    ], jnp.float32)
+    sp = jnp.asarray([[0, 0], [w - 1, 0], [w - 1, h - 1], [0, h - 1]],
+                     jnp.float32)
+    coef = perspective_coeffs(sp, ep)
+    flags = jnp.asarray([1, 1, 0], jnp.int32)
+    tiers, _ = _fwd_bases_tiered(coef, flags, h, w, _TV, k_small(h), k_fwd(h))
+    assert sorted(np.asarray(tiers).tolist()) == [0, 1, 2], tiers
+
+    img = jax.random.normal(jax.random.PRNGKey(1), (3, 3, h, w), jnp.float32)
+    out = jax.jit(perspective_warp)(img, coef, flags)
+    ref = homography_warp(img, coef)
+    np.testing.assert_allclose(np.asarray(out[:2]), np.asarray(ref[:2]),
+                               atol=1e-3)
+    assert (np.asarray(out[2]) == np.asarray(img[2])).all()
+    co = jax.random.normal(jax.random.PRNGKey(2), img.shape)
+    g1 = jax.jit(jax.grad(
+        lambda x: jnp.sum(perspective_warp(x, coef, flags) * co)))(img)
+    g2 = jax.grad(lambda x: jnp.sum(homography_warp(x, coef) * co))(img)
+    np.testing.assert_allclose(np.asarray(g1[:2]), np.asarray(g2[:2]),
+                               atol=1e-3)
+
+
 def test_persp_kernel_window_formulas():
     """Window bounds stay within the array and cover the measured family
     maxima (0.728*h fwd / 0.243*h bwd + taps)."""
