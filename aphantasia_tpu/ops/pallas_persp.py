@@ -74,10 +74,13 @@ def k_small(h: int) -> int:
     return min(_round_up(int(0.36 * h), 16), h)
 
 
-def k_bwd(h: int) -> int:
-    """Backward cotangent-row window: inverse-map row range (max 0.243*h)
-    + interp/Jacobian margin."""
-    return min(_round_up(int(np.ceil(0.26 * h)) + 10, 16), h)
+def k_bwd(h: int, tv: int = _TV) -> int:
+    """Backward cotangent-row window: inverse-map row range over a tv-row
+    input tile.  The range decomposes as ~tv * slope + cross-u spread:
+    extreme-corner enumeration gives tv + 0.19*h at h in {64,224,384} for
+    tv in {16,32} (e.g. 72.5 at h=224/tv=32, 41.5 at h=64/tv=32), so
+    tv + 0.20*h + margin covers the family with >=6 rows to spare."""
+    return min(_round_up(tv + int(np.ceil(0.20 * h)) + 12, 16), h)
 
 
 def _corner_minmax(coef, h, w, tv, inverse: bool):
@@ -281,7 +284,10 @@ def _fwd_call(img, coef, flags):
 
 def _bwd_call(g, coef, flags):
     s, c, h, w = g.shape
-    tv, kb = _TV, k_bwd(h)
+    # wider input tiles double the matmul's M (= c*tv rows) for better MXU
+    # utilization; the window grows only ~1.2x (k_bwd), a clear net win
+    tv = 32 if h % 32 == 0 else _TV
+    kb = k_bwd(h, tv)
     t_tiles = h // tv
     pbase = _bases(coef, h, w, tv, kb, inverse=True, margin=3)
     kern = functools.partial(_bwd_kernel, tv=tv, kb=kb, h=h, w=w, c=c,
