@@ -362,6 +362,43 @@ def test_spatial_frame_step_matches_dense():
                   - np.asarray(frame_d).astype(int)).max() <= 1
 
 
+def test_4k_spatial_frame_advance():
+    """A full VIDEO frame advance (motion warp + train steps + uint8
+    render) at 4K on the virtual 8-device mesh — the reference's
+    'fullHD/4K and above' claim (README.md:17) for illustrip, sharded
+    end-to-end: spectrum stays distributed, loss finite, frame rendered."""
+    from aphantasia_tpu.parallel.spatial import build_spatial_frame_step
+    from aphantasia_tpu.parallel.step import StepSettings
+    from aphantasia_tpu.ops.optim import build_optimizer
+    from tests.test_step import TINY_CLIP
+    from aphantasia_tpu.models.clip.model import clip_init, encode_text
+    from aphantasia_tpu.models.clip.tokenizer import tokenize
+
+    mesh = _mesh()
+    size = (2160, 4096)
+    spar = SpatialFFT(size, 1.0, 1.8, mesh)
+    sampler = CutoutSampler(size, 2, 32, align="uniform")
+    cp = clip_init(jax.random.PRNGKey(0), TINY_CLIP)
+    toks = np.clip(tokenize(["4k probe"], context_length=16), 0, 255)
+    prompts = ((encode_text(cp, TINY_CLIP, jnp.asarray(toks)),
+                jnp.ones((1,)), jnp.float32(-1.0)),)
+    settings = StepSettings(sim="cossim", transform="none", total_steps=2)
+    opt = build_optimizer("adam_custom", 0.05)
+    params = spar.init(jax.random.PRNGKey(1))
+    assert params.sharding.spec == (None, None, None, "spatial", None)
+    motion = (jnp.float32(2.0), jnp.float32(1.0), jnp.float32(-1.0),
+              jnp.float32(1.01), jnp.float32(0.2))
+    fn = build_spatial_frame_step(spar, sampler, TINY_CLIP, settings, opt,
+                                  1, smooth=False, contrast=1.2)
+    gp, _, _, frame, losses = fn(params, opt.init(params),
+                                 jnp.zeros((2, TINY_CLIP.embed_dim)), cp,
+                                 None, prompts, jax.random.PRNGKey(2),
+                                 jnp.int32(1), motion)
+    assert gp.sharding.spec == (None, None, None, "spatial", None)
+    assert frame.shape == (2160, 4096, 3) and frame.dtype == jnp.uint8
+    assert np.isfinite(np.asarray(losses)).all()
+
+
 def test_illustrip_spatial_cli(tmp_path):
     """illustrip --spatial end-to-end on the virtual mesh: sharded frame
     advance + sharded opt steps, frames written."""
