@@ -159,7 +159,7 @@ def _fwd_kernel(flags_ref, ybase_ref, coef_ref, img_ref, imgflat_ref,
     def _copy():
         out_ref[0, :, 0, :] = imgflat_ref[0, :, 0, :]
 
-    def _warp_body(k):
+    def _warp_body(k, merge_c):
         yb = ybase_ref[s, t]
         # output-pixel lane grid: p = dv*w + u
         pi = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
@@ -173,26 +173,38 @@ def _fwd_kernel(flags_ref, ybase_ref, coef_ref, img_ref, imgflat_ref,
         wy = jnp.maximum(0.0, 1.0 - jnp.abs(sy - ki))            # [K, P]
         mask = _tap_sum(sx, w) * _tap_sum(sy, h)                 # [1, P]
         wx = wx.astype(cdtype)
-        for ci in range(c):
-            bwin = img_ref[0, ci, pl.ds(yb, k), :].astype(cdtype)  # [K, X]
+        if merge_c:
+            # one [C*K, X] @ [X, P] — merging channels into M nearly
+            # saturates the MXU row tiles (3*80=240 of 256 vs 80 of 128)
+            bwin = img_ref[0, :, pl.ds(yb, k), :].reshape(c * k, w)
             acc = jax.lax.dot_general(
-                bwin, wx, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)              # [K, P]
-            val = jnp.sum(acc * wy, axis=0, keepdims=True)       # [1, P]
-            out_ref[0, ci, 0, :] = (val * mask)[0].astype(out_ref.dtype)
+                bwin.astype(cdtype), wx, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)              # [C*K, P]
+            val = jnp.sum(acc.reshape(c, k, p) * wy[None], axis=1)
+            out_ref[0, :, 0, :] = (val * mask).astype(out_ref.dtype)
+        else:
+            for ci in range(c):
+                bwin = img_ref[0, ci, pl.ds(yb, k), :]           # [K, X]
+                acc = jax.lax.dot_general(
+                    bwin.astype(cdtype), wx, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)          # [K, P]
+                val = jnp.sum(acc * wy, axis=0, keepdims=True)   # [1, P]
+                out_ref[0, ci, 0, :] = (val * mask)[0].astype(out_ref.dtype)
 
+    # tier-2 (extreme draws, rare) stays per-channel: its merged fp32
+    # accumulator [3*k2, P] would push VMEM toward the 16MB ceiling
     if k1 == k2:
         @pl.when(flags_ref[s] != 0)
         def _w():
-            _warp_body(k2)
+            _warp_body(k2, merge_c=False)
     else:
         @pl.when(flags_ref[s] == 1)
         def _w1():
-            _warp_body(k1)
+            _warp_body(k1, merge_c=True)
 
         @pl.when(flags_ref[s] == 2)
         def _w2():
-            _warp_body(k2)
+            _warp_body(k2, merge_c=False)
 
 
 def _bwd_kernel(flags_ref, pbase_ref, coef_ref, g_ref, out_ref, *,
