@@ -29,11 +29,15 @@ gather at all:
   that Bernoulli as a prefetched per-sample flag and `pl.when`-skips the
   whole tile into a copy, so the expected cost is p * worst-case.
 
-Layouts are chosen so no in-kernel relayout exists: the forward matmul is
-[K, X] @ [X, P=16*W] (output pixels on lanes), written to a [S, C, T, P]
-result that reshapes back to [S, C, H, W] for free in XLA; the backward
-walks the cotangent row window with per-row [C*16, U] @ [U, Qx] matmuls
-(input rows on sublanes), accumulating dimg tiles in fp32.
+Layouts are chosen so no in-kernel relayout exists and every dynamic
+sublane window is 16-aligned (Mosaic requires provably tile-aligned
+dynamic indices in the second-minor dim — bases are floored to 16 and
+annotated `pl.multiple_of`; windows carry +16 slack): the forward runs
+one [C*K, X] @ [X, W] matmul per output row (channels merged into M;
+output row written straight into the natural [C, tv, W] tile), and the
+backward walks the cotangent row window in aligned 16-row chunks with a
+static in-chunk unroll of per-row [C*tv, U] @ [U, Qx] matmuls,
+accumulating dimg tiles in fp32.
 """
 from __future__ import annotations
 
@@ -62,16 +66,18 @@ def _round_up(x: int, m: int) -> int:
 def k_fwd(h: int) -> int:
     """Forward source-row window: covers the distortion<=0.33 family's
     per-16-row-tile sy range (max 0.728*h over the 2^8 extreme corner
-    draws at h=224) + 2 interp taps + margin."""
-    return min(_round_up(int(np.ceil(0.73 * h)) + 6, 16), h)
+    draws at h=224) + 2 interp taps + margin + 16 alignment slack (the
+    window base is floored to a multiple of 16 for Mosaic)."""
+    return min(_round_up(int(np.ceil(0.73 * h)) + 22, 16), h)
 
 
 def k_small(h: int) -> int:
     """Small-tier forward window: ~96% of DRAWN distortion-0.33 samples
     have per-tile range <= 0.35*h (20k-draw measurement at h=224: p95 =
     74 = 0.33*h), so a second pl.when tier at this window cuts the
-    expected matmul work ~2.1x; the rare wide draws take the k_fwd tier."""
-    return min(_round_up(int(0.36 * h), 16), h)
+    expected matmul work ~1.7x; the rare wide draws take the k_fwd tier.
+    +16 covers the 16-aligned window base."""
+    return min(_round_up(int(0.36 * h) + 16, 16), h)
 
 
 def k_bwd(h: int, tv: int = _TV) -> int:
@@ -79,8 +85,9 @@ def k_bwd(h: int, tv: int = _TV) -> int:
     input tile.  The range decomposes as ~tv * slope + cross-u spread:
     extreme-corner enumeration gives tv + 0.19*h at h in {64,224,384} for
     tv in {16,32} (e.g. 72.5 at h=224/tv=32, 41.5 at h=64/tv=32), so
-    tv + 0.20*h + margin covers the family with >=6 rows to spare."""
-    return min(_round_up(tv + int(np.ceil(0.20 * h)) + 12, 16), h)
+    tv + 0.20*h + margin covers the family with >=6 rows to spare; +16
+    covers the 16-aligned window base."""
+    return min(_round_up(tv + int(np.ceil(0.20 * h)) + 28, 16), h)
 
 
 def _corner_minmax(coef, h, w, tv, inverse: bool):
@@ -111,6 +118,7 @@ def _corner_minmax(coef, h, w, tv, inverse: bool):
 def _bases(coef, h, w, tv, k, inverse, margin):
     mn, _ = _corner_minmax(coef, h, w, tv, inverse)
     yb = jnp.floor(mn).astype(jnp.int32) - margin
+    yb = (yb // 16) * 16        # Mosaic: dynamic sublane windows 16-aligned
     return jnp.clip(yb, 0, max(h - k, 0))
 
 
@@ -120,19 +128,19 @@ def _fwd_bases_tiered(coef, flags, h, w, tv, k1, k2):
     per-tile window bases to the tier's window size."""
     mn, mx = _corner_minmax(coef, h, w, tv, inverse=False)
     rng = (mx - mn).max(-1)                                       # [S]
-    tier = jnp.where(rng + 4.0 <= k1, 1, 2).astype(jnp.int32)
+    tier = jnp.where(rng + 20.0 <= k1, 1, 2).astype(jnp.int32)
     flags = flags * tier
     kcap = jnp.where(flags == 1, max(h - k1, 0),
                      max(h - k2, 0)).astype(jnp.int32)            # [S]
     yb = jnp.floor(mn).astype(jnp.int32) - 1
+    yb = (yb // 16) * 16        # Mosaic: dynamic sublane windows 16-aligned
     return flags, jnp.clip(yb, 0, kcap[:, None])
 
 
-def _rational(coef_ref, uu, vv):
-    """Source positions on iota grids (all elementwise, broadcasting)."""
-    a, b, c0 = coef_ref[0, 0], coef_ref[0, 1], coef_ref[0, 2]
-    d, e, f = coef_ref[0, 3], coef_ref[0, 4], coef_ref[0, 5]
-    g, hh = coef_ref[0, 6], coef_ref[0, 7]
+def _rational(cf, uu, vv):
+    """Source positions on iota grids (all elementwise, broadcasting).
+    `cf` is the 8-tuple of per-sample scalars read from SMEM once."""
+    a, b, c0, d, e, f, g, hh = cf
     den = g * uu + hh * vv + 1.0
     sx = (a * uu + b * vv + c0) / den - 0.5
     sy = (d * uu + e * vv + f) / den - 0.5
@@ -149,103 +157,104 @@ def _tap_sum(s, n):
     return (1.0 - t) * in0 + t * in1
 
 
-def _fwd_kernel(flags_ref, ybase_ref, coef_ref, img_ref, imgflat_ref,
+def _fwd_kernel(flags_ref, ybase_ref, coef_ref, img_ref, imgtile_ref,
                 out_ref, *, tv, k1, k2, h, w, c, cdtype):
     s = pl.program_id(0)
     t = pl.program_id(1)
-    p = tv * w
 
     @pl.when(flags_ref[s] == 0)
     def _copy():
-        out_ref[0, :, 0, :] = imgflat_ref[0, :, 0, :]
+        # block-indexed tile (the index map slices): in-kernel pl.ds at a
+        # grid-symbol offset misreads under Mosaic (measured on v5e)
+        out_ref[0] = imgtile_ref[0]
 
-    def _warp_body(k, merge_c):
-        yb = ybase_ref[s, t]
-        # output-pixel lane grid: p = dv*w + u
-        pi = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
-        uu = (pi % w).astype(jnp.float32) + 0.5
-        vv = (pi // w).astype(jnp.float32) + (t * tv) + 0.5
-        sx, sy = _rational(coef_ref, uu, vv)                     # [1, P]
-        xi = jax.lax.broadcasted_iota(jnp.float32, (w, p), 0)
-        wx = jnp.maximum(0.0, 1.0 - jnp.abs(sx - xi))            # [X, P]
-        ki = (jax.lax.broadcasted_iota(jnp.float32, (k, p), 0)
-              + yb.astype(jnp.float32))
-        wy = jnp.maximum(0.0, 1.0 - jnp.abs(sy - ki))            # [K, P]
-        mask = _tap_sum(sx, w) * _tap_sum(sy, h)                 # [1, P]
-        wx = wx.astype(cdtype)
-        if merge_c:
-            # one [C*K, X] @ [X, P] — merging channels into M nearly
-            # saturates the MXU row tiles (3*80=240 of 256 vs 80 of 128)
-            bwin = img_ref[0, :, pl.ds(yb, k), :].reshape(c * k, w)
+    def _warp_body(k):
+        yb = pl.multiple_of(ybase_ref[s, t], 16)
+        cf = tuple(coef_ref[s, i] for i in range(8))
+        bwin = img_ref[0, :, pl.ds(yb, k), :]                    # [C, K, X]
+        bflat = bwin.reshape(c * k, w).astype(cdtype)            # [C*K, X]
+        ybf = ybase_ref[s, t].astype(jnp.float32)
+        ul = (jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+              .astype(jnp.float32) + 0.5)                        # [1, W]
+        xi = jax.lax.broadcasted_iota(jnp.int32, (w, w), 0).astype(
+            jnp.float32)                                         # [X, W]
+        ki = (jax.lax.broadcasted_iota(jnp.int32, (k, w), 0).astype(
+            jnp.float32) + ybf)                                  # [K, W]
+        for r in range(tv):
+            vv = jnp.float32(0.5) + (t * tv + r)
+            sx, sy = _rational(cf, ul, vv)                       # [1, W]
+            wx = jnp.maximum(0.0, 1.0 - jnp.abs(sx - xi))        # [X, W]
+            # channels merged into M: [C*K, X] @ [X, W] on the MXU
             acc = jax.lax.dot_general(
-                bwin.astype(cdtype), wx, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)              # [C*K, P]
-            val = jnp.sum(acc.reshape(c, k, p) * wy[None], axis=1)
-            out_ref[0, :, 0, :] = (val * mask).astype(out_ref.dtype)
-        else:
-            for ci in range(c):
-                bwin = img_ref[0, ci, pl.ds(yb, k), :]           # [K, X]
-                acc = jax.lax.dot_general(
-                    bwin.astype(cdtype), wx, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)          # [K, P]
-                val = jnp.sum(acc * wy, axis=0, keepdims=True)   # [1, P]
-                out_ref[0, ci, 0, :] = (val * mask)[0].astype(out_ref.dtype)
+                bflat, wx.astype(cdtype), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)             # [C*K, W]
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(sy - ki))        # [K, W]
+            val = jnp.sum(acc.reshape(c, k, w) * wy[None], axis=1)
+            mask = _tap_sum(sx, w) * _tap_sum(sy, h)             # [1, W]
+            out_ref[0, :, r, :] = (val * mask).astype(out_ref.dtype)
 
-    # tier-2 (extreme draws, rare) stays per-channel: its merged fp32
-    # accumulator [3*k2, P] would push VMEM toward the 16MB ceiling
     if k1 == k2:
         @pl.when(flags_ref[s] != 0)
         def _w():
-            _warp_body(k2, merge_c=False)
+            _warp_body(k2)
     else:
         @pl.when(flags_ref[s] == 1)
         def _w1():
-            _warp_body(k1, merge_c=True)
+            _warp_body(k1)
 
         @pl.when(flags_ref[s] == 2)
         def _w2():
-            _warp_body(k2, merge_c=False)
+            _warp_body(k2)
 
 
-def _bwd_kernel(flags_ref, pbase_ref, coef_ref, g_ref, out_ref, *,
-                tv, kb, h, w, c, cdtype):
+def _bwd_kernel(flags_ref, pbase_ref, coef_ref, g_ref, gtile_ref,
+                out_ref, *, tv, kb, h, w, c, cdtype):
     s = pl.program_id(0)
     t = pl.program_id(1)
 
     @pl.when(flags_ref[s] == 0)
     def _copy():
-        out_ref[0] = g_ref[0, :, pl.ds(t * tv, tv), :]
+        out_ref[0] = gtile_ref[0]
 
     @pl.when(flags_ref[s] != 0)
     def _warp():
         pb = pbase_ref[s, t]
-        qxi = jax.lax.broadcasted_iota(jnp.float32, (w, w), 1)   # lanes=qx
+        cf = tuple(coef_ref[s, i] for i in range(8))
+        qxi = jax.lax.broadcasted_iota(
+            jnp.int32, (w, w), 1).astype(jnp.float32)            # lanes=qx
         ul_i = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)    # lanes=u
         uu_l = ul_i.astype(jnp.float32) + 0.5                    # [1, W]
-        uc_i = jax.lax.broadcasted_iota(jnp.float32, (w, 1), 0)  # sub=u
-        yt = (jax.lax.broadcasted_iota(jnp.float32, (tv, w), 0)
-              + t * tv)                                          # input row y
+        uc_i = jax.lax.broadcasted_iota(
+            jnp.int32, (w, 1), 0).astype(jnp.float32)            # sub=u
+        yt = (jax.lax.broadcasted_iota(jnp.int32, (tv, w), 0).astype(
+            jnp.float32) + t * tv)                               # input row y
 
-        def body(jj, acc):
-            j = (pb + jj).astype(jnp.float32)
-            # lane-oriented positions at output row j (for mask / wy)
-            sx_l, sy_l = _rational(coef_ref, uu_l, j + 0.5)      # [1, W]
-            maskj = _tap_sum(sx_l, w) * _tap_sum(sy_l, h)        # [1, W]
-            # input rows of this tile tapped by output row j
-            wyj = jnp.maximum(0.0, 1.0 - jnp.abs(sy_l - yt))     # [Tv, W]
-            grow = g_ref[0, :, pl.ds(pb + jj, 1), :]             # [C,1,W]
-            gm = grow.reshape(c, w).astype(jnp.float32) * maskj  # [C, W]
-            a = (gm[:, None, :] * wyj[None]).reshape(c * tv, w)  # [CT, U]
-            # sublane-oriented x weights: wxq[u, qx]
-            sx_c, _ = _rational(coef_ref, uc_i + 0.5, j + 0.5)   # [U, 1]
-            wxq = jnp.maximum(0.0, 1.0 - jnp.abs(sx_c - qxi))    # [U, Qx]
-            return acc + jax.lax.dot_general(
-                a.astype(cdtype), wxq.astype(cdtype),
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)              # [CT, Qx]
+        def chunk(ci, acc):
+            # aligned 16-row cotangent chunk; rows unrolled statically
+            base = pl.multiple_of(pb + ci * 16, 16)
+            gblk = g_ref[0, :, pl.ds(base, 16), :]               # [C, 16, W]
+            for r in range(16):
+                j = (pb + ci * 16 + r).astype(jnp.float32)
+                # lane-oriented positions at output row j (for mask / wy)
+                sx_l, sy_l = _rational(cf, uu_l, j + 0.5)        # [1, W]
+                maskj = _tap_sum(sx_l, w) * _tap_sum(sy_l, h)    # [1, W]
+                # input rows of this tile tapped by output row j
+                wyj = jnp.maximum(0.0, 1.0 - jnp.abs(sy_l - yt))  # [Tv, W]
+                gm = gblk[:, r, :].astype(jnp.float32) * maskj   # [C, W]
+                a = (gm[:, None, :] * wyj[None]).reshape(c * tv, w)
+                # sublane-oriented x weights: wxq[u, qx]
+                sx_c, _ = _rational(cf, uc_i + 0.5, j + 0.5)     # [U, 1]
+                wxq = jnp.maximum(0.0, 1.0 - jnp.abs(sx_c - qxi))
+                acc = acc + jax.lax.dot_general(
+                    a.astype(cdtype), wxq.astype(cdtype),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)         # [CT, Qx]
+            return acc
 
         acc = jax.lax.fori_loop(
-            0, kb, body, jnp.zeros((c * tv, w), jnp.float32))
+            0, kb // 16, chunk, jnp.zeros((c * tv, w), jnp.float32))
         out_ref[0] = acc.reshape(c, tv, w).astype(out_ref.dtype)
 
 
@@ -263,35 +272,36 @@ def _fwd_call(img, coef, flags):
     tv, k1, k2 = _TV, k_small(h), k_fwd(h)
     t_tiles = h // tv
     flags, ybase = _fwd_bases_tiered(coef, flags, h, w, tv, k1, k2)
-    imgflat = img.reshape(s, c, t_tiles, tv * w)
     kern = functools.partial(_fwd_kernel, tv=tv, k1=k1, k2=k2, h=h, w=w,
                              c=c, cdtype=img.dtype)
+    # Mosaic tiling: a block's last two dims must be (sublane,lane)-tile
+    # aligned or full — coef rides SMEM as the FULL [S, 8] array (rows
+    # picked by program_id in the kernel); the out block is the natural
+    # [1, C, tv, W] tile so every write is static in the sublane dim.
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(s, t_tiles),
         in_specs=[
-            pl.BlockSpec((1, 8), lambda i, t, *_: (i, 0),
+            pl.BlockSpec((s, 8), lambda i, t, *_: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, c, h, w), lambda i, t, *_: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c, 1, tv * w), lambda i, t, *_: (i, 0, t, 0),
+            pl.BlockSpec((1, c, tv, w), lambda i, t, *_: (i, 0, t, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, c, 1, tv * w),
-                               lambda i, t, *_: (i, 0, t, 0),
+        out_specs=pl.BlockSpec((1, c, tv, w), lambda i, t, *_: (i, 0, t, 0),
                                memory_space=pltpu.VMEM),
     )
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((s, c, t_tiles, tv * w), img.dtype),
+        out_shape=jax.ShapeDtypeStruct((s, c, h, w), img.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * s * c * k1 * w * tv * w * t_tiles,
             bytes_accessed=img.nbytes * 3,
             transcendentals=0),
         interpret=_interpret(),
-    )(flags, ybase, coef, img, imgflat)
-    return out.reshape(s, c, h, w)
+    )(flags, ybase, coef, img, img)
 
 
 def _bwd_call(g, coef, flags):
@@ -308,9 +318,11 @@ def _bwd_call(g, coef, flags):
         num_scalar_prefetch=2,
         grid=(s, t_tiles),
         in_specs=[
-            pl.BlockSpec((1, 8), lambda i, t, *_: (i, 0),
+            pl.BlockSpec((s, 8), lambda i, t, *_: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, c, h, w), lambda i, t, *_: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, tv, w), lambda i, t, *_: (i, 0, t, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, c, tv, w), lambda i, t, *_: (i, 0, t, 0),
@@ -325,7 +337,7 @@ def _bwd_call(g, coef, flags):
             bytes_accessed=g.nbytes * 3,
             transcendentals=0),
         interpret=_interpret(),
-    )(flags, pbase, coef, g)
+    )(flags, pbase, coef, g, g)
 
 
 @functools.lru_cache(maxsize=None)
