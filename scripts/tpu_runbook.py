@@ -31,7 +31,11 @@ sys.path.insert(0, ROOT)
 def _fresh_env(**extra):
     env = dict(os.environ)
     env.update({k: str(v) for k, v in extra.items()})
-    env["PYTHONPATH"] = ROOT
+    # PREPEND the repo: the inherited PYTHONPATH carries the axon
+    # sitecustomize that registers the TPU plugin — clobbering it makes
+    # every subprocess fail with "Unable to initialize backend 'axon'"
+    prior = env.get("PYTHONPATH", "")
+    env["PYTHONPATH"] = ROOT + (os.pathsep + prior if prior else "")
     return env
 
 
