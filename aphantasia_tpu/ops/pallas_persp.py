@@ -59,6 +59,15 @@ def _interpret() -> bool:
     return jax.default_backend() not in ("tpu", "axon")
 
 
+def _dot_precision(cdtype):
+    """HIGHEST only for f32 operands: the TPU default truncates f32 matmul
+    inputs to bf16 (measured 1e-2 deviation at identity), but Mosaic
+    REJECTS an fp32 contract precision on bf16 operands ("Bad lhs type"
+    on v5e) — and bf16 inputs have nothing left to truncate."""
+    return (jax.lax.Precision.HIGHEST if cdtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
@@ -188,7 +197,7 @@ def _fwd_kernel(flags_ref, ybase_ref, coef_ref, img_ref, imgtile_ref,
             acc = jax.lax.dot_general(
                 bflat, wx.astype(cdtype), (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)             # [C*K, W]
+                precision=_dot_precision(cdtype))                # [C*K, W]
             wy = jnp.maximum(0.0, 1.0 - jnp.abs(sy - ki))        # [K, W]
             val = jnp.sum(acc.reshape(c, k, w) * wy[None], axis=1)
             mask = _tap_sum(sx, w) * _tap_sum(sy, h)             # [1, W]
@@ -250,7 +259,7 @@ def _bwd_kernel(flags_ref, pbase_ref, coef_ref, g_ref, gtile_ref,
                     a.astype(cdtype), wxq.astype(cdtype),
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)         # [CT, Qx]
+                    precision=_dot_precision(cdtype))            # [CT, Qx]
             return acc
 
         acc = jax.lax.fori_loop(
@@ -362,6 +371,12 @@ def kernel_supported(backend: str = None) -> bool:
             return jnp.sum(_persp_core(x, coef, flags) ** 2)
 
         jax.block_until_ready(jax.value_and_grad(f)(img))
+        # the production step runs bf16 — Mosaic's dtype/precision checks
+        # differ per operand type, so probe that path too (fwd + VJP)
+        gb = jax.grad(lambda x: jnp.sum(
+            _persp_core(x, coef, flags).astype(jnp.float32) ** 2))(
+                img.astype(jnp.bfloat16))
+        jax.block_until_ready(gb)
         return True
     except Exception as e:  # pragma: no cover - hardware-dependent
         print("!!" + "!" * 72)

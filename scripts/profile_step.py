@@ -22,6 +22,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
+from aphantasia_tpu.cli.common import apply_platform
+
+apply_platform()   # persistent compile cache — repeat profile runs are hot
+
 if "--tiny" in sys.argv:
     # the container's sitecustomize re-pins JAX_PLATFORMS=axon at interpreter
     # start (see tests/conftest.py), so CPU smoke needs the config override
