@@ -23,12 +23,39 @@ def _hwio_t(w):
     return jnp.asarray(_np(w).transpose(2, 3, 0, 1))
 
 
+def _load_hf_dir(path):
+    """State dict from an HF model directory (safetensors or torch bin)."""
+    import os
+    st = os.path.join(path, "model.safetensors")
+    if os.path.isfile(st):
+        try:
+            from safetensors.numpy import load_file
+            return load_file(st)
+        except ImportError:
+            pass
+    binp = os.path.join(path, "pytorch_model.bin")
+    if os.path.isfile(binp):
+        import torch
+        return torch.load(binp, map_location="cpu")
+    # fall back to instantiating the model (needs transformers + config)
+    import transformers
+    model = transformers.AutoModelForDepthEstimation.from_pretrained(path)
+    return model.state_dict()
+
+
 def convert_hf_dav2(path_or_sd):
     if isinstance(path_or_sd, str):
-        import torch
-        sd = torch.load(path_or_sd, map_location="cpu")
-        if hasattr(sd, "state_dict"):
-            sd = sd.state_dict()
+        import os
+        if os.path.isdir(path_or_sd):
+            # HF save_pretrained directory (what `transformers.AutoModel
+            # ForDepthEstimation.from_pretrained` consumes — the reference's
+            # load path, depth/depth.py:22-25): read the weight file inside
+            sd = _load_hf_dir(path_or_sd)
+        else:
+            import torch
+            sd = torch.load(path_or_sd, map_location="cpu")
+            if hasattr(sd, "state_dict"):
+                sd = sd.state_dict()
         sd = {k: _np(v) for k, v in sd.items()}
     elif hasattr(path_or_sd, "state_dict"):
         sd = {k: _np(v) for k, v in path_or_sd.state_dict().items()}
@@ -76,9 +103,11 @@ def convert_hf_dav2(path_or_sd):
         "pos_emb": jnp.asarray(_np(sd["backbone.embeddings.position_embeddings"])[0]),
         "blocks": blocks,
     }
-    # NOTE: our dinov2_features applies no final layernorm (DPT taps
-    # intermediate layers pre-norm, matching DepthAnything's
-    # get_intermediate_layers(norm=False) for the vendored net)
+    # final layernorm, applied to every tapped intermediate layer
+    # (reference get_intermediate_layers(norm=True) default /
+    # HF apply_layernorm=true — see dinov2.py:dinov2_features)
+    if "backbone.layernorm.weight" in sd:
+        backbone["final_ln"] = ln("backbone.layernorm")
 
     proj_w, proj_b, scratch_w, fusion = [], [], [], []
     for i in range(4):

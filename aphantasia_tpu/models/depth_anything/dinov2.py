@@ -39,18 +39,25 @@ def _block(x, p, n_heads):
 
 
 def interp_pos_emb(pos_emb, gh, gw):
-    """Bicubic position-embedding interpolation (dinov2.py pos-emb interp).
+    """Bicubic position-embedding interpolation (reference
+    depth/any2/dinov2.py interpolate_pos_encoding; HF Dinov2 matches).
 
-    pos_emb: [1 + g0*g0, D] trained at square grid g0."""
+    Torch-exact: `F.interpolate(mode='bicubic', align_corners=False)` —
+    cubic A=-0.75, half-pixel mapping, NO antialias (jax.image.resize
+    would antialias the 37x37 -> small-grid DOWNSCALE with a different
+    kernel; caught by the full-size synthetic parity test,
+    tests/test_convert_full.py).  pos_emb: [1 + g0*g0, D], square g0."""
     cls = pos_emb[:1]
     patch = pos_emb[1:]
     g0 = int(round(patch.shape[0] ** 0.5))
     d = patch.shape[-1]
     if (gh, gw) == (g0, g0):
         return pos_emb
-    grid = patch.reshape(g0, g0, d)
-    grid = jax.image.resize(grid, (gh, gw, d), method="cubic")
-    return jnp.concatenate([cls, grid.reshape(gh * gw, d)], axis=0)
+    from aphantasia_tpu.ops.resize import resize_bicubic_halfpix
+    grid = patch.astype(jnp.float32).reshape(g0, g0, d).transpose(2, 0, 1)
+    grid = resize_bicubic_halfpix(grid, (gh, gw))        # [D, gh, gw]
+    grid = grid.transpose(1, 2, 0).reshape(gh * gw, d).astype(pos_emb.dtype)
+    return jnp.concatenate([cls, grid], axis=0)
 
 
 def dinov2_features(params, x, n_heads, take_layers, patch: int = 14,
@@ -73,8 +80,17 @@ def dinov2_features(params, x, n_heads, take_layers, patch: int = 14,
     for i, blk in enumerate(params["blocks"]):
         x = _block(x, blk, n_heads)
         if i in take_layers:
-            outs.append(x[:, 1:])  # strip class token
-    return outs
+            outs.append(x)
+    # final layernorm applied to EVERY tapped layer: the reference's
+    # vendored net taps via get_intermediate_layers(norm=True) (its
+    # default; depth/any2/dinov2.py:297-308, dpt.py:114) and HF
+    # Dinov2Backbone ships apply_layernorm=true — omitting it was a real
+    # fidelity bug caught by the full-size synthetic parity test
+    # (tests/test_convert_full.py)
+    fln = params.get("final_ln")
+    if fln is not None:
+        outs = [layer_norm(o, fln) for o in outs]
+    return [o[:, 1:] for o in outs]  # strip class token
 
 
 def dinov2_init(key, depth, dim, n_heads, patch: int = 14, img: int = 518):
@@ -104,4 +120,5 @@ def dinov2_init(key, depth, dim, n_heads, patch: int = 14, img: int = 518):
         "cls_token": 0.02 * jax.random.normal(next(keys), (dim,)),
         "pos_emb": 0.02 * jax.random.normal(next(keys), (1 + g0 * g0, dim)),
         "blocks": [blk() for _ in range(depth)],
+        "final_ln": ln(),
     }

@@ -11,14 +11,18 @@ cutout in a Python loop; here every random parameter is an [S]-array under
 a threaded PRNG key.  XLA TPU gathers are unusable in the hot path (the
 exact 4-tap warp in ops/perspective.py measured 0.65s/step fwd-only
 inside the full program; its autodiff scatter ~3.5s/step), so all warps
-are gather-free: the perspective stage of `fast` runs EXACT torchvision
-semantics through the banded one-hot-matmul Pallas kernel
-(ops/pallas_persp.py — draw and warp both exact, torch-golden in
-tests/test_aug_fidelity.py), and every affine stage collapses into ONE
-per-sample affine applied by the separable LDU warp (ops/sep_warp.py —
-FFT-phase shears + scale matmuls).  Remaining deviations (documented +
-measured in tests/test_aug_fidelity.py): the affine stages' interpolant
-is spectral (sinc) where torch's is bilinear; erasing commutes with the
+are gather-free: every affine stage collapses into ONE per-sample affine
+applied by the separable LDU warp (ops/sep_warp.py — FFT-phase shears +
+scale matmuls), with the perspective stage of `fast` entering that warp
+as its least-squares affine FIT (default — r3 TPU A/B: 24.4 it/s vs the
+exact kernel's 7.7, docs/TPU_MEASUREMENTS_r3.md).  EXACT torchvision
+perspective semantics stay available via APHANTASIA_EXACT_PERSP=1: the
+banded one-hot-matmul Pallas kernel (ops/pallas_persp.py — draw and warp
+both exact, torch-golden in tests/test_aug_fidelity.py).  Remaining
+deviations (documented + measured in tests/test_aug_fidelity.py): the
+fit-vs-exact perspective deviation (mean 0.06 at full distortion; the
+DRAW is torchvision-exact either way); the affine stages' interpolant is
+spectral (sinc) where torch's is bilinear; erasing commutes with the
 affine warp in custom/elastic; 'elastic' uses real smooth separable
 displacements (the reference passes a zero noise field to kornia — an
 identity warp, known-bug list SURVEY.md §7).
@@ -104,7 +108,12 @@ def transforms_fast(key, cuts):
     separately too, so the two-pass structure matches; the rotation's
     interpolant (separable LDU FFT-phase shears, ops/sep_warp.py, vs
     torch's bilinear) is the one remaining deviation, measured in
-    tests/test_aug_fidelity.py."""
+    tests/test_aug_fidelity.py.
+
+    OPT-IN via APHANTASIA_EXACT_PERSP=1: the r3 TPU A/B measured this
+    pipeline at 7.7 it/s headline vs the affine fit's 24.4 (the kernel's
+    banded matmuls add ~89 ms/step fwd+bwd at 200 samples) — see
+    get_transform / docs/TPU_MEASUREMENTS_r3.md."""
     s, c, h, w = cuts.shape
     k1, k2, k3 = jax.random.split(key, 3)
     from aphantasia_tpu.ops.perspective import (perspective_endpoints,
@@ -121,12 +130,12 @@ def transforms_fast(key, cuts):
 
 
 def transforms_fast_affine(key, cuts):
-    """The r1 `fast` pipeline: perspective applied as its least-squares
-    affine fit, composed with the rotation into ONE LDU warp (single
-    resample), erasing after.  Selected by APHANTASIA_AFFINE_PERSP=1
-    (perf A/B) or automatically when the exact kernel does not compile on
-    the current backend (ops/pallas_persp.py:kernel_supported).  Same key
-    split as transforms_fast, so A/B runs share their draws."""
+    """The default `fast` pipeline: perspective applied as its
+    least-squares affine fit, composed with the rotation into ONE LDU
+    warp (single resample), erasing after.  Default since the r3 TPU A/B
+    (24.4 vs 7.7 it/s headline — get_transform); the exact kernel remains
+    available via APHANTASIA_EXACT_PERSP=1.  Same key split as
+    transforms_fast, so A/B runs share their draws."""
     s, c, h, w = cuts.shape
     k1, k2, k3 = jax.random.split(key, 3)
     from aphantasia_tpu.ops.perspective import (
@@ -251,17 +260,21 @@ def get_transform(name: str):
     fn(key, cuts) (selection logic parity: clip_fft.py:161-171; lucent/
     openai are the reference's legacy pipelines, transforms.py:118-143).
 
-    Called at program-BUILD time (before jit), so 'fast' can probe the
-    exact-perspective kernel on the real backend once and fall back to
-    the r1 affine-fit pipeline if Mosaic rejects it (or if
-    APHANTASIA_AFFINE_PERSP=1 asks for the A/B baseline)."""
+    'fast' defaults to the AFFINE-FIT perspective (transforms_fast_affine):
+    the r3 TPU A/B measured the exact banded-matmul kernel at 7.7 vs
+    24.4 it/s headline (docs/TPU_MEASUREMENTS_r3.md), so the exact
+    torchvision semantics are OPT-IN via APHANTASIA_EXACT_PERSP=1 (probed
+    at build time — falls back LOUDLY if Mosaic rejects the kernel).  The
+    fit's deviation from the exact homography is measured and pinned in
+    tests/test_aug_fidelity.py (mean 0.06 at full distortion; the DRAW
+    distribution is torchvision-exact either way)."""
     import os
     if name == "fast":
-        from aphantasia_tpu.ops.pallas_persp import kernel_supported
-        if (os.environ.get("APHANTASIA_AFFINE_PERSP")
-                or not kernel_supported()):
-            return transforms_fast_affine
-        return transforms_fast
+        if os.environ.get("APHANTASIA_EXACT_PERSP"):
+            from aphantasia_tpu.ops.pallas_persp import kernel_supported
+            if kernel_supported():
+                return transforms_fast
+        return transforms_fast_affine
     return {
         "custom": transforms_custom,
         "elastic": transforms_elastic,

@@ -57,6 +57,37 @@ def resize_axis_taps(out_size: int, in_size, offset=0.0):
     return idx, w
 
 
+def resize_axis_taps_halfpix(out_size: int, in_size: int):
+    """Tap indices/weights for one axis with align_corners=False (the
+    half-pixel mapping `src = (i + 0.5) * in/out - 0.5`), torch cubic
+    A=-0.75, NO antialias — exactly `F.interpolate(mode='bicubic',
+    align_corners=False)` (what HF Dinov2 and the reference's vendored
+    net use for position-embedding interpolation, depth/any2/dinov2.py).
+    Static sizes only.  Returns (idx int32 [out,4], w float32 [out,4])."""
+    i = jnp.arange(out_size, dtype=jnp.float32)
+    src = (i + 0.5) * (in_size / out_size) - 0.5
+    y0 = jnp.floor(src)
+    t = src - y0
+    w = cubic_tap_weights(t)
+    taps = y0[:, None] + jnp.arange(-1, 3, dtype=jnp.float32)
+    idx = jnp.clip(taps, 0.0, in_size - 1.0).astype(jnp.int32)
+    return idx, w
+
+
+def resize_bicubic_halfpix(img: jnp.ndarray, size) -> jnp.ndarray:
+    """Full-frame bicubic resize, NCHW (or leading-dims) + [..., H, W],
+    align_corners=False, no antialias — torch `F.interpolate(...,
+    mode='bicubic', align_corners=False)` parity for static shapes."""
+    h, w = img.shape[-2:]
+    oh, ow = size
+    yidx, yw = resize_axis_taps_halfpix(oh, h)
+    xidx, xw = resize_axis_taps_halfpix(ow, w)
+    wy = _dense_matrix(yidx, yw, h)    # [oh, h]
+    wx = _dense_matrix(xidx, xw, w)    # [ow, w]
+    out = jnp.einsum("oh,...hw->...ow", wy, img)
+    return jnp.einsum("pw,...ow->...op", wx, out)
+
+
 def resize_bicubic(img: jnp.ndarray, size) -> jnp.ndarray:
     """Plain full-frame bicubic resize, NCHW, align_corners=True semantics.
 

@@ -74,17 +74,105 @@ def _verify_clip(model, path):
     ours_i = np.asarray(encode_image(params, cfg, jnp.asarray(imgs)))
     if not (np.isfinite(ours_t).all() and np.isfinite(ours_i).all()):
         return "FAILED", "non-finite encodings"
+    ref_t = ref_i = None
+    detail = "torch.jit"
     try:
         import torch
         ref = torch.jit.load(path, map_location="cpu").float().eval()
+        with torch.no_grad():
+            ref_t = ref.encode_text(torch.as_tensor(toks)).numpy()
+            ref_i = ref.encode_image(torch.as_tensor(imgs)).numpy()
     except Exception:
-        return "converted", "forward finite; no runnable torch reference"
-    with torch.no_grad():
-        ref_t = ref.encode_text(torch.as_tensor(toks)).numpy()
-        ref_i = ref.encode_image(torch.as_tensor(imgs)).numpy()
+        # archive not executable (e.g. a bare-weights jit container, or no
+        # torch) — try an independent HF CLIPModel loaded with the SAME
+        # original state_dict through the well-known OpenAI->HF key mapping
+        try:
+            ref_t, ref_i = _hf_clip_reference(path, cfg, toks, imgs)
+            detail = "transformers.CLIPModel"
+        except Exception:
+            return "converted", "forward finite; no runnable torch reference"
     c = min(_cos(ours_t, ref_t), _cos(ours_i, ref_i))
-    return (("verified", f"cosine {c:.4f} >= 0.98") if c >= 0.98
-            else ("FAILED", f"cosine {c:.4f} < 0.98"))
+    return (("verified", f"cosine {c:.4f} >= 0.98 (vs {detail})") if c >= 0.98
+            else ("FAILED", f"cosine {c:.4f} < 0.98 (vs {detail})"))
+
+
+def _hf_clip_reference(path, cfg, toks, imgs):
+    """Execute a ViT CLIP checkpoint through transformers.CLIPModel: map
+    the ORIGINAL OpenAI-named state_dict into HF naming (the independent
+    inverse of tests/test_convert.py:hf_to_openai_sd — never derived from
+    our converted pytree, so converter bugs cannot cancel) and run
+    get_text_features / get_image_features."""
+    import torch
+    from transformers import CLIPConfig as HFConfig, CLIPModel
+    if not cfg.is_vit:
+        raise ValueError("HF CLIPModel reference covers ViT models only")
+    sd = torch.jit.load(path, map_location="cpu").state_dict()
+    sd = {k: v.float() for k, v in sd.items()}
+
+    hf_cfg = HFConfig(projection_dim=cfg.embed_dim)
+    hf_cfg.text_config.hidden_size = cfg.transformer_width
+    hf_cfg.text_config.intermediate_size = 4 * cfg.transformer_width
+    hf_cfg.text_config.num_hidden_layers = cfg.transformer_layers
+    hf_cfg.text_config.num_attention_heads = cfg.transformer_width // 64
+    hf_cfg.text_config.vocab_size = cfg.vocab_size
+    hf_cfg.text_config.max_position_embeddings = cfg.context_length
+    hf_cfg.text_config.hidden_act = "quick_gelu"
+    hf_cfg.vision_config.hidden_size = cfg.vision_width
+    hf_cfg.vision_config.intermediate_size = 4 * cfg.vision_width
+    hf_cfg.vision_config.num_hidden_layers = cfg.vision_layers
+    hf_cfg.vision_config.num_attention_heads = cfg.vision_width // 64
+    hf_cfg.vision_config.image_size = cfg.image_resolution
+    hf_cfg.vision_config.patch_size = cfg.vision_patch_size
+    hf_cfg.vision_config.hidden_act = "quick_gelu"
+
+    out = {}
+
+    def blocks(dst, src, n, d):
+        for i in range(n):
+            s = f"{src}.resblocks.{i}"
+            t = f"{dst}.encoder.layers.{i}"
+            inw, inb = sd[s + ".attn.in_proj_weight"], sd[s + ".attn.in_proj_bias"]
+            for j, p in enumerate("qkv"):
+                out[t + f".self_attn.{p}_proj.weight"] = inw[j * d:(j + 1) * d]
+                out[t + f".self_attn.{p}_proj.bias"] = inb[j * d:(j + 1) * d]
+            out[t + ".self_attn.out_proj.weight"] = sd[s + ".attn.out_proj.weight"]
+            out[t + ".self_attn.out_proj.bias"] = sd[s + ".attn.out_proj.bias"]
+            out[t + ".layer_norm1.weight"] = sd[s + ".ln_1.weight"]
+            out[t + ".layer_norm1.bias"] = sd[s + ".ln_1.bias"]
+            out[t + ".layer_norm2.weight"] = sd[s + ".ln_2.weight"]
+            out[t + ".layer_norm2.bias"] = sd[s + ".ln_2.bias"]
+            out[t + ".mlp.fc1.weight"] = sd[s + ".mlp.c_fc.weight"]
+            out[t + ".mlp.fc1.bias"] = sd[s + ".mlp.c_fc.bias"]
+            out[t + ".mlp.fc2.weight"] = sd[s + ".mlp.c_proj.weight"]
+            out[t + ".mlp.fc2.bias"] = sd[s + ".mlp.c_proj.bias"]
+
+    out["vision_model.embeddings.patch_embedding.weight"] = sd["visual.conv1.weight"]
+    out["vision_model.embeddings.class_embedding"] = sd["visual.class_embedding"]
+    out["vision_model.embeddings.position_embedding.weight"] = sd["visual.positional_embedding"]
+    out["vision_model.pre_layrnorm.weight"] = sd["visual.ln_pre.weight"]
+    out["vision_model.pre_layrnorm.bias"] = sd["visual.ln_pre.bias"]
+    blocks("vision_model", "visual.transformer", cfg.vision_layers,
+           cfg.vision_width)
+    out["vision_model.post_layernorm.weight"] = sd["visual.ln_post.weight"]
+    out["vision_model.post_layernorm.bias"] = sd["visual.ln_post.bias"]
+    out["visual_projection.weight"] = sd["visual.proj"].t().contiguous()
+    out["text_model.embeddings.token_embedding.weight"] = sd["token_embedding.weight"]
+    out["text_model.embeddings.position_embedding.weight"] = sd["positional_embedding"]
+    blocks("text_model", "transformer", cfg.transformer_layers,
+           cfg.transformer_width)
+    out["text_model.final_layer_norm.weight"] = sd["ln_final.weight"]
+    out["text_model.final_layer_norm.bias"] = sd["ln_final.bias"]
+    out["text_projection.weight"] = sd["text_projection"].t().contiguous()
+    out["logit_scale"] = sd["logit_scale"]
+
+    model = CLIPModel(hf_cfg).eval()
+    model.load_state_dict(out, strict=False)
+    with torch.no_grad():
+        ref_t = model.get_text_features(
+            input_ids=torch.as_tensor(toks)).numpy()
+        ref_i = model.get_image_features(
+            pixel_values=torch.as_tensor(imgs)).numpy()
+    return ref_t, ref_i
 
 
 def _verify_aesthetic(path):
@@ -125,8 +213,12 @@ def _verify_lpips(path):
 def _verify_dav2(path):
     import jax.numpy as jnp
     from aphantasia_tpu.models.depth_anything import InferDepthAny
-    os.environ.setdefault("APHANTASIA_DAV2_PT", path)
-    infer = InferDepthAny("s", params=None)
+    from aphantasia_tpu.models.depth_anything.convert import convert_hf_dav2
+    params = convert_hf_dav2(path)
+    # infer the variant (s/b/l) from the converted embedding width
+    width = params["backbone"]["pos_emb"].shape[-1]
+    modtype = {384: "s", 768: "b", 1024: "l"}.get(int(width), "s")
+    infer = InferDepthAny(modtype, params=params)
     rng = np.random.RandomState(3)
     img = rng.rand(1, 3, 14 * 6, 14 * 8).astype(np.float32)
     ours = np.asarray(infer(jnp.asarray(img)))

@@ -8,8 +8,9 @@ Stages (each prints a PASS/number line; all state goes to stdout):
   persp    Mosaic compile + TPU parity of ops/pallas_persp.py (the exact
            perspective kernel shipped hardware-unverified while the
            tunnel was down) vs the XLA gather op, fwd + VJP.
-  ab       step-cost A/B of the exact kernel vs APHANTASIA_AFFINE_PERSP=1
-           (VERDICT r1 item-3 bar: exact must cost <5% headline).
+  ab       step-cost A/B of the default affine fit vs the exact kernel
+           (APHANTASIA_EXACT_PERSP=1); r3 scanned-bench result:
+           24.4 vs 7.7 it/s (docs/TPU_MEASUREMENTS_r3.md).
   profile  component step-cost table (scripts/profile_step.py inline).
   attn     APHANTASIA_ATTN_ROWS sweep {128,256,384,512} on the full step.
   bench    headline bench.py JSON line (>=28 it/s target).
@@ -86,12 +87,11 @@ def stage_persp():
 
 def stage_ab():
     py = sys.executable
-    print("\n== exact perspective (default) ==", flush=True)
+    print("\n== affine-fit perspective (default since r3) ==", flush=True)
     _run([py, "scripts/profile_step.py", "--reps", "20"])
-    print("\n== affine-fit fallback (APHANTASIA_AFFINE_PERSP=1) ==",
-          flush=True)
+    print("\n== exact kernel (APHANTASIA_EXACT_PERSP=1) ==", flush=True)
     _run([py, "scripts/profile_step.py", "--reps", "20"],
-         APHANTASIA_AFFINE_PERSP="1")
+         APHANTASIA_EXACT_PERSP="1")
 
 
 def stage_profile():

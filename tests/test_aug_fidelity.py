@@ -65,8 +65,8 @@ def _smooth_image(key, h, w):
 
 def test_perspective_exact_vs_torchvision():
     """BOTH perspective implementations — the XLA gather op
-    (ops/perspective.homography_warp) and the hot path's banded-matmul
-    Pallas kernel (ops/pallas_persp.perspective_warp, the default
+    (ops/perspective.homography_warp) and the banded-matmul Pallas kernel
+    (ops/pallas_persp.perspective_warp, the APHANTASIA_EXACT_PERSP=1
     transforms_fast stage) — must stay within 1e-3 of torchvision
     RandomPerspective semantics at full distortion 0.33, on white noise
     (no smoothness to hide interpolation error) AND including borders
@@ -97,11 +97,12 @@ def test_perspective_exact_vs_torchvision():
 
 
 def test_pipeline_affine_fit_deviation_pinned():
-    """The APHANTASIA_AFFINE_PERSP=1 fallback (the r1 hot path) warps at
-    the affine FIT of the exact homography.  Pin the measured deviation of
-    fit-vs-exact so it cannot silently grow; the default path has no such
-    deviation (the exact kernel, test above), and the DRAW distribution is
-    torchvision-exact either way."""
+    """The default hot path (since the r3 TPU A/B: 24.4 vs 7.7 it/s)
+    warps at the affine FIT of the exact homography.  Pin the measured
+    deviation of fit-vs-exact so it cannot silently grow; the
+    APHANTASIA_EXACT_PERSP=1 path has no such deviation (the exact
+    kernel, test above), and the DRAW distribution is torchvision-exact
+    either way."""
     from aphantasia_tpu.ops.perspective import (perspective_coeffs,
                                                 affine_fit_centered,
                                                 homography_warp)

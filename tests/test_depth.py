@@ -69,7 +69,7 @@ def test_hf_parity_tiny():
 
     bb = dict(hidden_size=32, num_hidden_layers=4, num_attention_heads=2,
               intermediate_size=64, image_size=28, patch_size=14,
-              out_indices=[1, 2, 3, 4], apply_layernorm=False,
+              out_indices=[1, 2, 3, 4], apply_layernorm=True,
               reshape_hidden_states=False)
     cfg_hf = DepthAnythingConfig(
         backbone_config={"model_type": "dinov2", **bb},
