@@ -48,17 +48,37 @@ def _conv(x, w, b=None, stride=1, padding="SAME"):
 
 
 def _conv_transpose(x, w, b=None, stride=2):
-    out = lax.conv_transpose(
-        x, w.astype(x.dtype), (stride, stride), "SAME",
+    """torch `ConvTranspose2d(..., stride, padding=0)` EXACT: lhs-dilated
+    conv with the spatially-flipped kernel and (k-1) edge padding.
+    `lax.conv_transpose(..., 'SAME')` does NOT flip the kernel and pads
+    differently — it never matched torch (third real DA-V2 parity bug
+    caught by the full-size synthetic test, tests/test_convert_full.py;
+    the tiny HF golden's random fusion weights were numerically blind to
+    the upsample levels).  w: HWIO [kh,kw,in,out]."""
+    k = w.shape[0]
+    out = lax.conv_general_dilated(
+        x, jnp.flip(w, (0, 1)).astype(x.dtype), (1, 1),
+        padding=((k - 1, k - 1), (k - 1, k - 1)),
+        lhs_dilation=(stride, stride),
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     if b is not None:
         out = out + b.astype(x.dtype)
     return out
 
 
-def _resize2x(x):
+def _resize_align(x, oh, ow):
+    """NHWC bilinear resize with align_corners=True — torch-exact for the
+    DPT fusion/head interpolates (reference depth/any2/util/blocks.py
+    scale_factor=2 align_corners=True; HF resizes to the next level's
+    size).  jax.image.resize's half-pixel bilinear drifted every fusion
+    level (~0.97 corr/level, compounding — caught by the full-size
+    synthetic parity test, tests/test_convert_full.py)."""
+    from aphantasia_tpu.ops.resize import linear_axis_matrix
     n, h, w, c = x.shape
-    return jax.image.resize(x, (n, 2 * h, 2 * w, c), "bilinear")
+    wy = linear_axis_matrix(oh, h).astype(x.dtype)
+    wx = linear_axis_matrix(ow, w).astype(x.dtype)
+    x = jnp.einsum("Oh,nhwc->nOwc", wy, x)
+    return jnp.einsum("Pw,nOwc->nOPc", wx, x)
 
 
 def _rcu(x, p):
@@ -70,12 +90,14 @@ def _rcu(x, p):
     return x + out
 
 
-def _fusion(x, skip, p):
-    """FeatureFusionBlock: refine skip, add, refine, upsample 2x, project."""
+def _fusion(x, skip, p, size):
+    """FeatureFusionBlock: refine skip, add, refine, upsample to `size`
+    (the next level's dims; 2x at the last block) with align_corners=True
+    bilinear, project."""
     if skip is not None:
         x = x + _rcu(skip, p["rcu1"])
     x = _rcu(x, p["rcu2"])
-    x = _resize2x(x)
+    x = _resize_align(x, *size)
     return _conv(x, p["out_w"], p["out_b"])
 
 
@@ -107,18 +129,18 @@ def dav2_apply(params, cfg: DAV2Config, x, dtype=jnp.float32):
     # scratch: project each level to `features` channels
     scratch = [_conv(f, hp["scratch_w"][i]) for i, f in enumerate(pyramid)]
 
-    # fusion top-down (coarsest first)
-    path = _fusion(scratch[3], None, hp["fusion"][3])
-    path = path[:, :scratch[2].shape[1], :scratch[2].shape[2]]
-    path = _fusion(path, scratch[2], hp["fusion"][2])
-    path = path[:, :scratch[1].shape[1], :scratch[1].shape[2]]
-    path = _fusion(path, scratch[1], hp["fusion"][1])
-    path = path[:, :scratch[0].shape[1], :scratch[0].shape[2]]
-    path = _fusion(path, scratch[0], hp["fusion"][0])
+    # fusion top-down (coarsest first); each block upsamples to the next
+    # level's size (HF passes size=next level; the vendored net's 2x +
+    # caller crop is equivalent on these exact-power grids)
+    path = _fusion(scratch[3], None, hp["fusion"][3],
+                   scratch[2].shape[1:3])
+    path = _fusion(path, scratch[2], hp["fusion"][2], scratch[1].shape[1:3])
+    path = _fusion(path, scratch[1], hp["fusion"][1], scratch[0].shape[1:3])
+    path = _fusion(path, scratch[0], hp["fusion"][0],
+                   (2 * scratch[0].shape[1], 2 * scratch[0].shape[2]))
 
     out = _conv(path, hp["out1_w"], hp["out1_b"])
-    nh, nw = out.shape[1], out.shape[2]
-    out = jax.image.resize(out, (n, h, w, out.shape[-1]), "bilinear")
+    out = _resize_align(out, h, w)
     out = jax.nn.relu(_conv(out, hp["out2_w"], hp["out2_b"]))
     out = jax.nn.relu(_conv(out, hp["out3_w"], hp["out3_b"]))
     return out.transpose(0, 3, 1, 2)[:, :1]

@@ -57,6 +57,22 @@ def resize_axis_taps(out_size: int, in_size, offset=0.0):
     return idx, w
 
 
+def linear_axis_matrix(out_size: int, in_size: int) -> jnp.ndarray:
+    """Dense [out, in] bilinear interpolation matrix with
+    align_corners=True (src = i * (in-1)/(out-1)) — torch
+    `F.interpolate(mode='bilinear', align_corners=True)` parity (the DPT
+    fusion/head resizes: reference depth/any2/util/blocks.py, HF
+    DepthAnythingFeatureFusionLayer)."""
+    i = jnp.arange(out_size, dtype=jnp.float32)
+    src = i * ((in_size - 1.0) / max(out_size - 1, 1))
+    y0 = jnp.floor(src)
+    t = src - y0
+    w = jnp.stack([1.0 - t, t], axis=-1)                       # [out, 2]
+    idx = jnp.clip(y0[:, None] + jnp.arange(2, dtype=jnp.float32),
+                   0.0, in_size - 1.0).astype(jnp.int32)
+    return _dense_matrix(idx, w, in_size)
+
+
 def resize_axis_taps_halfpix(out_size: int, in_size: int):
     """Tap indices/weights for one axis with align_corners=False (the
     half-pixel mapping `src = (i + 0.5) * in/out - 0.5`), torch cubic
