@@ -234,7 +234,9 @@ def maybe_translate(texts, enabled: bool, verbose=True):
         raise SystemExit(
             " --translate requires the googletrans package, which is not "
             "installed.\n Install it (`pip install googletrans`) or drop "
-            "--translate and pass English prompts.")
+            "--translate and pass English prompts.\n This loud error (vs "
+            "silently passing untranslated text to CLIP) is final, by "
+            "design — see README 'translate'.")
     tr = Translator()
     if isinstance(texts, str):
         out = tr.translate(texts, dest="en").text

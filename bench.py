@@ -3,7 +3,10 @@ CLIP ViT-B/32 (BASELINE.json metric).
 
 Runs the fused jitted train step (decode -> 200 bicubic cutouts -> augment ->
 CLIP ViT-B/32 fwd+bwd -> adam) on the available accelerator and prints ONE
-JSON line {metric, value, unit, vs_baseline, ...}.
+JSON line {metric, value, unit, vs_baseline, ...}.  On TPU the line also
+carries the secondary video metric (illustrip sustained frames/min, with
+and without the 3D depth warp — BASELINE.json names it next to the
+headline), so every driver BENCH_r*.json records both.
 
 vs_baseline denominator: the reference publishes NO numbers and no GPU
 exists here (BASELINE.md), so the denominator is MEASURED: the reference's
@@ -159,6 +162,24 @@ def main():
         result["mfu"] = round(mfu, 3)          # hardware (XLA whole-program)
     if mfu_model is not None:
         result["mfu_model"] = round(mfu_model, 3)  # CLIP tower fwd+bwd only
+
+    # Video throughput, driver-visible (VERDICT r2 item 3): illustrip
+    # frames/min with and without the DA-V2 3D depth warp, via the real
+    # CLI entry point (bench_illustrip.measure — warm rate of the second
+    # run = sustained production rate).  Guarded so the headline survives
+    # any video failure; skip on CPU or with APHANTASIA_BENCH_NO_VIDEO=1.
+    if on_tpu and not os.environ.get("APHANTASIA_BENCH_NO_VIDEO"):
+        try:
+            import contextlib
+            import sys
+            from bench_illustrip import measure
+            with contextlib.redirect_stdout(sys.stderr):  # keep the JSON
+                _, warm = measure(depth=0.0, frames=12)   # line clean+last
+                _, warm_d = measure(depth=1.0, frames=8)
+            result["video_frames_per_min"] = round(warm, 1)
+            result["video_frames_per_min_depth"] = round(warm_d, 1)
+        except Exception as e:  # pragma: no cover - hardware-dependent
+            result["video_error"] = repr(e)[:120]
     print(json.dumps(result))
 
 
