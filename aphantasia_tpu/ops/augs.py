@@ -104,11 +104,13 @@ def transforms_fast(key, cuts):
     (ops/pallas_persp.py — gather-free 4-tap bilinear + fill mask,
     pl.when-skipped for the 80% of samples whose Bernoulli fails, just as
     torchvision returns those unchanged).  Erasing then rotation follow in
-    torch's own order — torchvision resamples perspective and rotation
-    separately too, so the two-pass structure matches; the rotation's
-    interpolant (separable LDU FFT-phase shears, ops/sep_warp.py, vs
-    torch's bilinear) is the one remaining deviation, measured in
-    tests/test_aug_fidelity.py.
+    torch's own order, and the rotate stage ALSO runs through the kernel
+    (a rotation is a homography, "rotate" window family) — so this
+    pipeline is fully torchvision-exact per stage: bilinear interpolant,
+    zeros+fill borders, separate resamples, ≤1e-3 goldens
+    (tests/test_aug_fidelity.py, tests/test_pallas_persp.py).  Remaining
+    (documented) deviation from the reference: angles draw per-sample
+    here, once per batch there (transforms.py:75).
 
     OPT-IN via APHANTASIA_EXACT_PERSP=1: the r3 TPU A/B measured this
     pipeline at 7.7 it/s headline vs the affine fit's 24.4 (the kernel's
@@ -117,15 +119,22 @@ def transforms_fast(key, cuts):
     s, c, h, w = cuts.shape
     k1, k2, k3 = jax.random.split(key, 3)
     from aphantasia_tpu.ops.perspective import (perspective_endpoints,
-                                                perspective_coeffs)
+                                                perspective_coeffs,
+                                                rotation_coeffs_for)
     from aphantasia_tpu.ops.pallas_persp import perspective_warp
     start, end = perspective_endpoints(k1, s, h, w, distortion=0.33, p=0.2)
     coef = perspective_coeffs(start, end)
     flags = (jnp.abs(end - start[None]).max((1, 2)) > 0).astype(jnp.int32)
     cuts = perspective_warp(cuts, coef, flags)
     cuts = random_erasing(k3, cuts)
-    cuts = affine_warp(cuts, random_rotate_affine(k2, s), pad=56,
-                       compute_dtype=jnp.bfloat16)
+    # rotate stage through the same kernel (rotation is a homography):
+    # torch-exact bilinear interpolant — same angle draw as the affine
+    # pipeline's random_rotate_affine(k2), so A/B runs share their draws
+    idx = jax.random.randint(k2, (s,), 0, len(_ROT_ANGLES))
+    ang = jnp.asarray(_ROT_ANGLES)[idx]
+    rcoef = rotation_coeffs_for(ang, h, w)
+    rflags = (jnp.abs(ang) > 0).astype(jnp.int32)
+    cuts = perspective_warp(cuts, rcoef, rflags, family="rotate")
     return clip_normalize(cuts)
 
 

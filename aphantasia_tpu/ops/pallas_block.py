@@ -356,5 +356,10 @@ def resblock_flat_fused(x, p, n_heads, t, bb):
     m = p["mlp"]
     x = attn_half(x, p["ln_1"]["g"], p["ln_1"]["b"], a["in_w"], a["in_b"],
                   a["out_w"], a["out_b"], n_heads, t, bb)
+    # the MLP half is pure rowwise — block rows are free to differ from the
+    # attention geometry.  Cap at 128: the backward keeps f32 [block, 4d]
+    # activations + both weight matrices in VMEM, and v5e's 16M scoped
+    # limit OOMs at bb*t blocks (measured: 19.3M at [10000,768] bf16,
+    # docs/TPU_MEASUREMENTS_r3.md)
     return mlp_half(x, p["ln_2"]["g"], p["ln_2"]["b"], m["fc_w"], m["fc_b"],
-                    m["proj_w"], m["proj_b"], bb * t)
+                    m["proj_w"], m["proj_b"], min(bb * t, 128))

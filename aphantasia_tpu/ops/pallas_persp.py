@@ -99,6 +99,26 @@ def k_bwd(h: int, tv: int = _TV) -> int:
     return min(_round_up(tv + int(np.ceil(0.20 * h)) + 28, 16), h)
 
 
+def k_rot_fwd(h: int, w: int) -> int:
+    """Forward window for the ±30° rotation family (torchvision
+    random_rotate_fast, reference transforms.py:73-84): per-tile source-y
+    range = sin|θ|·w + cos θ·tv ≤ 0.5·w + 0.87·16."""
+    return min(_round_up(int(0.5 * w + 0.87 * _TV) + 22, 16), h)
+
+
+def k_rot_small(h: int, w: int) -> int:
+    """Small rotation tier: |θ| ≤ ~15° (half the nonzero draws of the
+    uniform ±30° menu) has range ≤ 0.26·w + tv; the tier split itself is
+    EXACT per sample (corner min/max in _fwd_bases_tiered)."""
+    return min(_round_up(int(0.26 * w + _TV) + 22, 16), h)
+
+
+def k_rot_bwd(h: int, w: int, tv: int) -> int:
+    """Backward window for rotation: the inverse map is the rotation by
+    -θ — same range formula over a tv-row input tile."""
+    return min(_round_up(tv + int(0.5 * w + 0.87 * tv) + 28, 16), h)
+
+
 def _corner_minmax(coef, h, w, tv, inverse: bool):
     """[S, T] (min, max) over each 16-row tile of the source (or
     inverse-image) y-position, from the 4 tile-corner evaluations (exact:
@@ -276,9 +296,13 @@ def _prep(img, coef, flags):
     return coef, flags.astype(jnp.int32)
 
 
-def _fwd_call(img, coef, flags):
+def _fwd_call(img, coef, flags, family="persp"):
     s, c, h, w = img.shape
-    tv, k1, k2 = _TV, k_small(h), k_fwd(h)
+    tv = _TV
+    if family == "rotate":
+        k1, k2 = k_rot_small(h, w), k_rot_fwd(h, w)
+    else:
+        k1, k2 = k_small(h), k_fwd(h)
     t_tiles = h // tv
     flags, ybase = _fwd_bases_tiered(coef, flags, h, w, tv, k1, k2)
     kern = functools.partial(_fwd_kernel, tv=tv, k1=k1, k2=k2, h=h, w=w,
@@ -313,12 +337,12 @@ def _fwd_call(img, coef, flags):
     )(flags, ybase, coef, img, img)
 
 
-def _bwd_call(g, coef, flags):
+def _bwd_call(g, coef, flags, family="persp"):
     s, c, h, w = g.shape
     # wider input tiles double the matmul's M (= c*tv rows) for better MXU
     # utilization; the window grows only ~1.2x (k_bwd), a clear net win
     tv = 32 if h % 32 == 0 else _TV
-    kb = k_bwd(h, tv)
+    kb = k_rot_bwd(h, w, tv) if family == "rotate" else k_bwd(h, tv)
     t_tiles = h // tv
     pbase = _bases(coef, h, w, tv, kb, inverse=True, margin=3)
     kern = functools.partial(_bwd_kernel, tv=tv, kb=kb, h=h, w=w, c=c,
@@ -368,13 +392,13 @@ def kernel_supported(backend: str = None) -> bool:
         flags = jnp.asarray([1, 1, 0], jnp.int32)
 
         def f(x):
-            return jnp.sum(_persp_core(x, coef, flags) ** 2)
+            return jnp.sum(_persp_core("persp", x, coef, flags) ** 2)
 
         jax.block_until_ready(jax.value_and_grad(f)(img))
         # the production step runs bf16 — Mosaic's dtype/precision checks
         # differ per operand type, so probe that path too (fwd + VJP)
         gb = jax.grad(lambda x: jnp.sum(
-            _persp_core(x, coef, flags).astype(jnp.float32) ** 2))(
+            _persp_core("persp", x, coef, flags).astype(jnp.float32) ** 2))(
                 img.astype(jnp.bfloat16))
         jax.block_until_ready(gb)
         return True
@@ -388,36 +412,39 @@ def kernel_supported(backend: str = None) -> bool:
         return False
 
 
-def perspective_warp(img, coef, flags=None):
-    """Exact torchvision perspective of [S,C,H,W] by [S,8] coeffs.
+def perspective_warp(img, coef, flags=None, family="persp"):
+    """Exact torchvision homography of [S,C,H,W] by [S,8] coeffs.
 
     Semantics == ops/perspective.py:homography_warp (bilinear, zeros
     padding, fill-0 mask; torch-golden in tests/test_perspective.py), but
     gather-free and O(p * banded-window) expected cost.  `flags` is the
     per-sample apply mask (torchvision RandomPerspective returns the input
     UNCHANGED when the Bernoulli fails — flag 0 copies exactly); derived
-    from non-identity coeffs when omitted.  Coefficients must come from
-    the distortion<=0.33 family the window bound covers (k_fwd/k_bwd
-    above); H must be a multiple of 16 (CLIP input sizes are) — anything
-    else falls back to the XLA gather op."""
+    from non-identity coeffs when omitted.  `family` selects the static
+    window bounds the coefficients must come from: "persp" = the
+    RandomPerspective distortion<=0.33 family (k_fwd/k_bwd), "rotate" =
+    torchvision F.affine rotations |θ|<=30° (k_rot_* — the fully-exact
+    opt-in pipeline routes its rotate stage here).  H must be a multiple
+    of 16 (CLIP input sizes are) — anything else falls back to the XLA
+    gather op."""
     if img.shape[2] % _TV:
         return homography_warp(img, coef)
     coef, flags = _prep(img, coef, flags)
-    return _persp_core(img, coef, flags)
+    return _persp_core(family, img, coef, flags)
 
 
-@jax.custom_vjp
-def _persp_core(img, coef, flags):
-    return _fwd_call(img, coef, flags)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _persp_core(family, img, coef, flags):
+    return _fwd_call(img, coef, flags, family)
 
 
-def _core_fwd(img, coef, flags):
-    return _fwd_call(img, coef, flags), (coef, flags)
+def _core_fwd(family, img, coef, flags):
+    return _fwd_call(img, coef, flags, family), (coef, flags)
 
 
-def _core_bwd(res, g):
+def _core_bwd(family, res, g):
     coef, flags = res
-    return (_bwd_call(g, coef, flags), jnp.zeros_like(coef),
+    return (_bwd_call(g, coef, flags, family), jnp.zeros_like(coef),
             np.zeros(flags.shape, jax.dtypes.float0))
 
 

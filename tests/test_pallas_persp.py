@@ -147,3 +147,52 @@ def test_persp_kernel_odd_height_falls_back():
     out = perspective_warp(img, coef, flags)
     ref = homography_warp(img, coef)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_rotate_family_matches_xla_op():
+    """The "rotate" window family (the fully-exact pipeline's rotate
+    stage): kernel vs the XLA gather op over the full ±30° torchvision
+    angle menu, white noise, value + VJP.  homography_warp's rotation
+    semantics are themselves torch-golden (tests/test_perspective.py:
+    test_rotation_value_parity), so this transitively binds the kernel
+    rotate stage to torchvision F.affine."""
+    from aphantasia_tpu.ops.perspective import rotation_coeffs_for
+
+    h = w = 64
+    angles = jnp.asarray([-30.0, -17.0, -3.0, 0.0, 8.0, 15.0, 29.0])
+    s = angles.shape[0]
+    img = jax.random.normal(jax.random.PRNGKey(5), (s, 3, h, w), jnp.float32)
+    coef = rotation_coeffs_for(angles, h, w)
+    flags = (jnp.abs(angles) > 0).astype(jnp.int32)
+
+    out = perspective_warp(img, coef, flags, family="rotate")
+    ref = jnp.where((flags > 0)[:, None, None, None],
+                    homography_warp(img, coef), img)
+    assert float(jnp.abs(out - ref).max()) <= 1e-3
+
+    co = jax.random.normal(jax.random.PRNGKey(6), img.shape)
+    g1 = jax.grad(lambda x: jnp.sum(
+        perspective_warp(x, coef, flags, family="rotate") * co))(img)
+    g2 = jax.grad(lambda x: jnp.sum(jnp.where(
+        (flags > 0)[:, None, None, None],
+        homography_warp(x, coef), x) * co))(img)
+    assert float(jnp.abs(g1 - g2).max()) <= 1e-3
+
+
+def test_exact_pipeline_rotate_stage_torch_golden():
+    """transforms_fast's kernel rotate stage vs the torch grid_sample
+    oracle directly (not just transitively): bilinear, zeros, fill-0."""
+    torch = pytest.importorskip("torch")
+    from aphantasia_tpu.ops.perspective import rotation_coeffs_for
+    from tests.test_perspective import _torch_rotate
+
+    h = w = 64
+    rng = np.random.RandomState(7)
+    img = rng.rand(1, 3, h, w).astype(np.float32)
+    for angle in (-29.0, -12.0, 4.0, 30.0):
+        coef = rotation_coeffs_for(jnp.asarray([angle], jnp.float32), h, w)
+        got = np.asarray(perspective_warp(
+            jnp.asarray(img), coef, jnp.ones((1,), jnp.int32),
+            family="rotate"))
+        want = _torch_rotate(torch.from_numpy(img), angle).numpy()
+        np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
