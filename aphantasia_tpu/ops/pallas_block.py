@@ -149,18 +149,41 @@ def _attn_half_fwd_kernel(x_ref, g_ref, b_ref, inw_ref, inb_ref, outw_ref,
 
 def _attn_half_bwd_kernel(x_ref, dy_ref, inv_ref, g_ref, b_ref, inw_ref,
                           inb_ref, outw_ref, dx_ref, *, bb, n_heads, t):
-    bias = _merged_bias(bb, t, t, False)
-    x = x_ref[...]
-    dy = dy_ref[...]
+    # The full-block backward peaks over v5e's 16M scoped-VMEM limit
+    # (measured 16.28M monolithic / 17.29M with a partial split,
+    # docs/TPU_MEASUREMENTS_r3.md), so the WHOLE remat+backward runs per
+    # sample-half: LN, qkv, attention core, dh and the LN backward each
+    # touch only rows-sized buffers (4t rows — still MXU-viable), and a
+    # half's transients die before the next starts.  Numerics identical:
+    # every op is rowwise or within-sample (the merged [R,R] score mats
+    # were block-diagonal overcompute anyway).
     g = g_ref[...]
-    # remat the forward pieces in VMEM (x -> LN -> qkv)
-    h, xhat, invs = _ln_f32(x, g, b_ref[...])
+    b = b_ref[...]
     inw = inw_ref[...]
-    qkv = _matmul_bias(h, inw, inb_ref[...])
-    do = _matmul_t(dy, outw_ref[...]).astype(x.dtype)
-    dqkv = _attn_bwd_core(qkv, do, inv_ref[...], bias, n_heads, x.dtype)
-    dh = _matmul_t(dqkv, inw)
-    dx_ref[...] = dy + _ln_bwd_f32(dh, g, xhat, invs, x.dtype)
+    outw = outw_ref[...]
+    inb = inb_ref[...]
+    # quarters: the half split still measured 16.02M (20K over!) — the
+    # per-slice transients shrink linearly and the one concat store stays
+    halves = 4 if bb % 4 == 0 else (2 if bb % 2 == 0 and bb > 1 else 1)
+    rows = (bb // halves) * t
+    bias = _merged_bias(bb // halves, t, t, False)
+    xall = x_ref[...]
+    dyall = dy_ref[...]
+    invall = inv_ref[...]
+    parts = []
+    for i in range(halves):
+        sl = slice(i * rows, (i + 1) * rows)
+        x = xall[sl]
+        dy = dyall[sl]
+        h, xhat, invs = _ln_f32(x, g, b)
+        qkv = _matmul_bias(h, inw, inb)
+        do = _matmul_t(dy, outw).astype(x.dtype)
+        dqkv = _attn_bwd_core(qkv, do, invall[sl], bias, n_heads, x.dtype)
+        dh = _matmul_t(dqkv, inw)
+        parts.append(dy + _ln_bwd_f32(dh, g, xhat, invs, x.dtype))
+    # one aligned full-block store (rows=4t is not sublane-tile aligned
+    # for bf16, so per-half stores would be rejected by Mosaic)
+    dx_ref[...] = parts[0] if halves == 1 else jnp.concatenate(parts, 0)
 
 
 # ------------------------------------------------------------------ MLP half
