@@ -48,8 +48,19 @@ def _contract(img, wy, wx, dt_name):
     intermediate in f32 (~690MB at the headline config; measured ~3ms of
     pure HBM/matmul waste per step).  The matrices are constant w.r.t.
     the image (sampler taps come from the PRNG), so the VJP is just the
-    two transposed contractions."""
+    two transposed contractions.
+
+    Contraction ORDER is chosen so the materialized [S,C,M,*] intermediate
+    scales with min(H, W): contracting the WIDER frame axis first shrinks
+    it H/W-fold (720p: 344MB -> 194MB bf16 — the r3 on-chip trace showed
+    the intermediate's HBM round-trip as the single biggest non-tower op,
+    ~4.6 ms/step across fwd+bwd)."""
     dt = jnp.dtype(dt_name)
+    if img.shape[1] <= img.shape[2]:      # H <= W: contract W first
+        tmp = jnp.einsum("snw,chw->scnh", wx, img.astype(dt),
+                         preferred_element_type=dt)
+        return jnp.einsum("smh,scnh->scmn", wy, tmp,
+                          preferred_element_type=jnp.float32)
     tmp = jnp.einsum("smh,chw->scmw", wy, img.astype(dt),
                      preferred_element_type=dt)
     return jnp.einsum("scmw,snw->scmn", tmp, wx,
@@ -57,16 +68,22 @@ def _contract(img, wy, wx, dt_name):
 
 
 def _contract_fwd(img, wy, wx, dt_name):
-    return _contract(img, wy, wx, dt_name), (wy, wx)
+    return _contract(img, wy, wx, dt_name), (wy, wx, img.shape)
 
 
 def _contract_bwd(dt_name, res, g):
-    wy, wx = res
+    wy, wx, img_shape = res
     dt = jnp.dtype(dt_name)
-    d_tmp = jnp.einsum("scmn,snw->scmw", g.astype(dt), wx,
-                       preferred_element_type=dt)
-    d_img = jnp.einsum("smh,scmw->chw", wy, d_tmp,
-                       preferred_element_type=jnp.float32)
+    if img_shape[1] <= img_shape[2]:      # mirror the fwd order
+        d_tmp = jnp.einsum("scmn,smh->scnh", g.astype(dt), wy,
+                           preferred_element_type=dt)
+        d_img = jnp.einsum("snw,scnh->chw", wx, d_tmp,
+                           preferred_element_type=jnp.float32)
+    else:
+        d_tmp = jnp.einsum("scmn,snw->scmw", g.astype(dt), wx,
+                           preferred_element_type=dt)
+        d_img = jnp.einsum("smh,scmw->chw", wy, d_tmp,
+                           preferred_element_type=jnp.float32)
     # wy/wx carry no gradient path (PRNG-derived); zeros are DCE'd
     return d_img, jnp.zeros_like(wy), jnp.zeros_like(wx)
 
