@@ -124,10 +124,23 @@ def mha(x, p, n_heads, mask=None, causal=False, valid_t=None):
 
 def mha_flat(x, p, n_heads, t):
     """mha over the flat sample-major stream [b*t, d] (fused path only):
-    projections run un-padded; only the kernel sees the sample structure."""
-    from aphantasia_tpu.ops.pallas_attn import attention_core_flat
+    projections run un-padded; only the kernel sees the sample structure.
+
+    APHANTASIA_ATTN_PADDED=1 routes the core through the token-padded
+    kernel instead: the [b*t,3d]->[b,t,3d] reshape is a free row-major
+    bitcast, and the padded kernel's small aligned blocks (see
+    _geometry / APHANTASIA_ATTN_PAD_ROWS) trade a per-layer t->t_pad
+    pad/unpad HBM copy for much less score overcompute."""
+    import os
+    from aphantasia_tpu.ops.pallas_attn import (attention_core,
+                                                attention_core_flat)
     qkv = x @ p["in_w"].astype(x.dtype) + p["in_b"].astype(x.dtype)
-    o = attention_core_flat(qkv, n_heads, t)
+    if os.environ.get("APHANTASIA_ATTN_PADDED") == "1":
+        r, d3 = qkv.shape
+        o = attention_core(qkv.reshape(r // t, t, d3), n_heads, False, None)
+        o = o.reshape(r, d3 // 3)
+    else:
+        o = attention_core_flat(qkv, n_heads, t)
     return o @ p["out_w"].astype(x.dtype) + p["out_b"].astype(x.dtype)
 
 

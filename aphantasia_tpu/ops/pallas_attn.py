@@ -87,8 +87,8 @@ def _fwd_kernel(qkv_ref, o_ref, inv_ref, *, bb, n_heads, t, causal):
     inv_ref[...] = jnp.concatenate(invs, axis=-1).reshape(bb, t_pad, n_heads)
 
 
-def _bwd_kernel(qkv_ref, do_ref, inv_ref, dqkv_ref, *, bb, n_heads, t,
-                causal):
+def _bwd_kernel(qkv_ref, do_ref, inv_ref, o_ref, dqkv_ref, *, bb, n_heads,
+                t, causal):
     t_pad, d3 = qkv_ref.shape[1], qkv_ref.shape[2]
     d = d3 // 3
     hd = d // n_heads
@@ -98,6 +98,7 @@ def _bwd_kernel(qkv_ref, do_ref, inv_ref, dqkv_ref, *, bb, n_heads, t,
     qkv = qkv_ref[...].reshape(n, d3)
     do = do_ref[...].reshape(n, d)
     inv_all = inv_ref[...].reshape(n, n_heads)    # fwd's saved 1/rowsums
+    o = o_ref[...].reshape(n, d)                  # fwd's saved output
 
     dq_parts, dk_parts, dv_parts = [], [], []
     for h_i in range(n_heads):
@@ -105,6 +106,7 @@ def _bwd_kernel(qkv_ref, do_ref, inv_ref, dqkv_ref, *, bb, n_heads, t,
         k = qkv[:, d + h_i * hd:d + (h_i + 1) * hd]
         v = qkv[:, 2 * d + h_i * hd:2 * d + (h_i + 1) * hd]
         do_h = do[:, h_i * hd:(h_i + 1) * hd]
+        o_h = o[:, h_i * hd:(h_i + 1) * hd]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
         s = s + bias
@@ -115,7 +117,12 @@ def _bwd_kernel(qkv_ref, do_ref, inv_ref, dqkv_ref, *, bb, n_heads, t,
                                  preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(do_h, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        ds = p32 * (dp - jnp.sum(dp * p32, -1, keepdims=True))
+        # flash-attention softmax-bwd identity: sum_k dp_ik p_ik = do_i.o_i
+        # — a [n,hd] rowdot instead of a [n,n] reduction (measured ~15% of
+        # the bwd kernel at the headline geometry)
+        rs = jnp.sum(do_h.astype(jnp.float32) * o_h.astype(jnp.float32),
+                     -1, keepdims=True)
+        ds = p32 * (dp - rs)
         ds = (ds * scale).astype(qkv.dtype)
         dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
@@ -158,8 +165,8 @@ def _fwd_kernel_flat(qkv_ref, o_ref, inv_ref, *, bb, n_heads, t, causal):
     inv_ref[...] = jnp.concatenate(invs, axis=-1)
 
 
-def _bwd_kernel_flat(qkv_ref, do_ref, inv_ref, dqkv_ref, *, bb, n_heads, t,
-                     causal):
+def _bwd_kernel_flat(qkv_ref, do_ref, inv_ref, o_ref, dqkv_ref, *, bb,
+                     n_heads, t, causal):
     n, d3 = qkv_ref.shape
     d = d3 // 3
     hd = d // n_heads
@@ -168,6 +175,7 @@ def _bwd_kernel_flat(qkv_ref, do_ref, inv_ref, dqkv_ref, *, bb, n_heads, t,
     qkv = qkv_ref[...]
     do = do_ref[...]
     inv_all = inv_ref[...]
+    o = o_ref[...]
 
     dt = dqkv_ref.dtype
     for h_i in range(n_heads):
@@ -175,6 +183,7 @@ def _bwd_kernel_flat(qkv_ref, do_ref, inv_ref, dqkv_ref, *, bb, n_heads, t,
         k = qkv[:, d + h_i * hd:d + (h_i + 1) * hd]
         v = qkv[:, 2 * d + h_i * hd:2 * d + (h_i + 1) * hd]
         do_h = do[:, h_i * hd:(h_i + 1) * hd]
+        o_h = o[:, h_i * hd:(h_i + 1) * hd]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
         s = s + bias
@@ -185,7 +194,11 @@ def _bwd_kernel_flat(qkv_ref, do_ref, inv_ref, dqkv_ref, *, bb, n_heads, t,
                                  preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(do_h, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        ds = p32 * (dp - jnp.sum(dp * p32, -1, keepdims=True))
+        # flash-attention identity: sum_k dp_ik p_ik = do_i.o_i (see
+        # _bwd_kernel) — kills the [n,n] rowsum reduction
+        rs = jnp.sum(do_h.astype(jnp.float32) * o_h.astype(jnp.float32),
+                     -1, keepdims=True)
+        ds = p32 * (dp - rs)
         ds = (ds * scale).astype(qkv.dtype)
         dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
@@ -204,10 +217,18 @@ def _tile(dtype) -> int:
 
 
 def _geometry(t: int, dtype):
-    """(t_pad, bb): pad T to a sublane tile, merge samples to ~512 rows."""
+    """(t_pad, bb): pad T to a sublane tile, merge samples into blocks.
+
+    APHANTASIA_ATTN_PAD_ROWS sets the merged-row target (default 256 ->
+    bb=4 at t_pad=64).  128 gives bb=2: exact [128,128] score tiles with
+    3.3x key-column overcompute vs the flat kernel's alignment-pinned 8x
+    (bb=8 is the SMALLEST flat block at t=50/bf16, so only this padded
+    path can reach small blocks — the r3 ATTN_ROWS sweep never could)."""
+    import os
     tile = _tile(dtype)
     t_pad = -(-t // tile) * tile
-    bb = max(1, 256 // t_pad)
+    target = int(os.environ.get("APHANTASIA_ATTN_PAD_ROWS", "256"))
+    bb = max(1, target // t_pad)
     return t_pad, bb
 
 
@@ -257,17 +278,22 @@ def _core_fwd(qkv, n_heads, causal, valid_t):
                    jax.ShapeDtypeStruct((bp, t_pad, n_heads), jnp.float32)),
         interpret=_interpret(),
     )(qp)
-    return out[:b, :t], (qkv, inv)
+    out = out[:b, :t]
+    # `out` rides the residuals for the bwd flash identity (rs = do.o);
+    # the tower is frozen, so nothing else retains it — net cost is one
+    # [b,t,d] HBM read in bwd vs a [n,n]-wide rowsum per head.
+    return out, (qkv, inv, out)
 
 
 def _core_bwd(n_heads, causal, valid_t, res, do):
-    qkv, inv = res
+    qkv, inv, out = res
     b, t, d3 = qkv.shape
     d = d3 // 3
     t_v = valid_t or t
     t_pad, bb = _geometry(t, qkv.dtype)
     qp = _pad_bt(qkv, bb, t_pad)
     dop = _pad_bt(do.astype(qkv.dtype), bb, t_pad)
+    op = _pad_bt(out.astype(qkv.dtype), bb, t_pad)
     bp = qp.shape[0]
 
     dqkv = pl.pallas_call(
@@ -281,12 +307,14 @@ def _core_bwd(n_heads, causal, valid_t, res, do):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bb, t_pad, n_heads), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, t_pad, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bb, t_pad, d3), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bp, t_pad, d3), qkv.dtype),
         interpret=_interpret(),
-    )(qp, dop, inv)
+    )(qp, dop, inv, op)
     return (dqkv[:b, :t],)
 
 
@@ -367,11 +395,12 @@ def _flat_fwd(qkv, n_heads, t, causal):
                    jax.ShapeDtypeStruct((rp, n_heads), jnp.float32)),
         interpret=_interpret(),
     )(qp)
-    return out[:r], (qkv, inv)
+    out = out[:r]
+    return out, (qkv, inv, out)    # out: bwd flash identity (see _core_fwd)
 
 
 def _flat_bwd(n_heads, t, causal, res, do):
-    qkv, inv = res
+    qkv, inv, out = res
     r, d3 = qkv.shape
     d = d3 // 3
     bb = flat_geometry(t, qkv.dtype)
@@ -379,6 +408,7 @@ def _flat_bwd(n_heads, t, causal, res, do):
     qp = _pad_rows(qkv, block)
     dop = _pad_rows(do.astype(qkv.dtype), block)
     invp = _pad_rows(inv, block)
+    op = _pad_rows(out.astype(qkv.dtype), block)
     rp = qp.shape[0]
 
     dqkv = pl.pallas_call(
@@ -392,12 +422,14 @@ def _flat_bwd(n_heads, t, causal, res, do):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block, n_heads), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((block, d3), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rp, d3), qkv.dtype),
         interpret=_interpret(),
-    )(qp, dop, invp)
+    )(qp, dop, invp, op)
     return (dqkv[:r],)
 
 

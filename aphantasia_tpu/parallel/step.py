@@ -84,7 +84,11 @@ def build_loss_fn(parameterizer, sampler, clip_cfg, settings: StepSettings,
         boxes = sampler.sample_boxes(k_box)
         cuts = sampler.cut(img, boxes, compute_dtype=settings.clip_dtype)
         cuts = maybe_shard(cuts)
-        cuts = transform(k_tf, cuts)
+        # enter the tower dtype BEFORE the augmentations: the warps already
+        # compute in bf16 internally, and keeping the inter-stage tensors
+        # bf16 halves the patchify-side layout copies the r3 trace surfaced
+        # (~1.3 ms/step of f32 copies at the headline config)
+        cuts = transform(k_tf, cuts.astype(settings.clip_dtype))
         enc = encode_image(clip_params, clip_cfg, cuts, dtype=settings.clip_dtype)
         return maybe_shard(enc).astype(jnp.float32)
 

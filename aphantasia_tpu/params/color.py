@@ -55,9 +55,15 @@ def to_valid_rgb(image: jnp.ndarray, colors: float = 1.0,
 
 
 def clip_normalize(image: jnp.ndarray) -> jnp.ndarray:
-    """CLIP mean/std normalization over NCHW batch (transforms.py:102-109)."""
-    mean = jnp.asarray(CLIP_MEAN)[None, :, None, None]
-    std = jnp.asarray(CLIP_STD)[None, :, None, None]
+    """CLIP mean/std normalization over NCHW batch (transforms.py:102-109).
+
+    Dtype-preserving: the constants follow the image dtype so a bf16
+    augmentation pipeline stays bf16 into the tower (f32 constants would
+    silently promote — and did: the r3 trace showed the patchify layout
+    copies running f32 because this promotion sat between the bf16 warp
+    and the tower's astype)."""
+    mean = jnp.asarray(CLIP_MEAN, image.dtype)[None, :, None, None]
+    std = jnp.asarray(CLIP_STD, image.dtype)[None, :, None, None]
     return (image - mean) / std
 
 

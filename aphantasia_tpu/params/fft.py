@@ -64,17 +64,33 @@ def _irfft2_mats_jnp(h: int, w: int):
         return tuple(jnp.asarray(m) for m in _irfft2_mats(h, w))
 
 
-def irfft2_ortho(re: jnp.ndarray, im: jnp.ndarray, size) -> jnp.ndarray:
+def irfft2_ortho(re: jnp.ndarray, im: jnp.ndarray, size,
+                 compute_dtype=None) -> jnp.ndarray:
     """[..., h, wf] real/imag rfft2 spectrum -> [..., h, w] image, matching
-    jnp.fft.irfft2(norm='ortho') to f32 matmul precision."""
+    jnp.fft.irfft2(norm='ortho') to `compute_dtype` matmul precision.
+
+    compute_dtype=bf16 runs the six DFT matmuls at double MXU pump with
+    f32 accumulation (bf16 shares f32's exponent range, so the 1/f^decay
+    dynamic range survives; per-element rounding is ~0.4% relative — far
+    below the optimization noise floor).  Output stays f32."""
     h, w = size
     c_h, s_h, cw, sw = _irfft2_mats_jnp(h, w)
-    r2 = jnp.einsum("jk,...kw->...jw", c_h, re) - jnp.einsum(
-        "jk,...kw->...jw", s_h, im)
-    i2 = jnp.einsum("jk,...kw->...jw", s_h, re) + jnp.einsum(
-        "jk,...kw->...jw", c_h, im)
-    return jnp.einsum("...jk,kw->...jw", r2, cw) + jnp.einsum(
-        "...jk,kw->...jw", i2, sw)
+    if compute_dtype is not None and compute_dtype != jnp.float32:
+        dt = compute_dtype
+        c_h, s_h = c_h.astype(dt), s_h.astype(dt)
+        cw, sw = cw.astype(dt), sw.astype(dt)
+        re, im = re.astype(dt), im.astype(dt)
+        kw = dict(preferred_element_type=jnp.float32)
+    else:
+        kw = {}
+    r2 = jnp.einsum("jk,...kw->...jw", c_h, re, **kw) - jnp.einsum(
+        "jk,...kw->...jw", s_h, im, **kw)
+    i2 = jnp.einsum("jk,...kw->...jw", s_h, re, **kw) + jnp.einsum(
+        "jk,...kw->...jw", c_h, im, **kw)
+    if kw:
+        r2, i2 = r2.astype(compute_dtype), i2.astype(compute_dtype)
+    return jnp.einsum("...jk,kw->...jw", r2, cw, **kw) + jnp.einsum(
+        "...jk,kw->...jw", i2, sw, **kw)
 
 
 def spectrum_to_image(params: jnp.ndarray, size) -> jnp.ndarray:
@@ -130,18 +146,19 @@ def fft_init(key: jax.Array, shape, sd: float = 0.01) -> jnp.ndarray:
 
 def fft_decode(params: jnp.ndarray, scale: jnp.ndarray, size,
                shift: jnp.ndarray | None = None,
-               contrast: float = 1.0) -> jnp.ndarray:
+               contrast: float = 1.0, compute_dtype=None) -> jnp.ndarray:
     """spectrum -> image, pure and jittable (reference image.py:164-175).
 
     scaled = scale * (params [+ shift]); image = irfft2(scaled, norm='ortho');
     image *= contrast / std(image).  `std` uses Bessel's correction to match
-    torch.Tensor.std().
+    torch.Tensor.std().  `compute_dtype`: see irfft2_ortho.
     """
     h, w = size
     scaled = scale * params
     if shift is not None:
         scaled = scaled + scale * shift
-    image = irfft2_ortho(scaled[..., 0], scaled[..., 1], (h, w))
+    image = irfft2_ortho(scaled[..., 0], scaled[..., 1], (h, w),
+                         compute_dtype=compute_dtype)
     std = jnp.std(image, ddof=1)
     return image * contrast / std
 
@@ -221,6 +238,11 @@ class FFTParameterizer:
     size: tuple          # (H, W)
     decay_power: float = 1.0
     colors: float = 1.6
+    # DFT matmul precision: "auto" = bf16 on TPU (f32 accumulation — see
+    # irfft2_ortho), f32 elsewhere, following the FUSED_ATTN backend-gate
+    # pattern (models/clip/model.py).  Pass jnp.float32 to force f32
+    # everywhere, or set APHANTASIA_DECODE_F32=1.
+    compute_dtype: object = "auto"
 
     def init(self, key: jax.Array, sd: float = 0.01) -> jnp.ndarray:
         h, w = self.size
@@ -232,8 +254,15 @@ class FFTParameterizer:
         return fft_scale(h, w, self.decay_power)
 
     def decode(self, params, shift=None, contrast: float = 1.0) -> jnp.ndarray:
+        dt = self.compute_dtype
+        if dt == "auto":
+            import os
+            on_tpu = jax.default_backend() in ("tpu", "axon")
+            dt = (jnp.bfloat16 if on_tpu
+                  and os.environ.get("APHANTASIA_DECODE_F32") != "1"
+                  else None)
         return fft_decode(params, _scale_jnp(*self.size, self.decay_power),
-                          self.size, shift, contrast)
+                          self.size, shift, contrast, compute_dtype=dt)
 
     def image(self, params, shift=None, contrast: float = 1.0) -> jnp.ndarray:
         """Decode straight to valid RGB in [0,1]."""

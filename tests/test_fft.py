@@ -47,6 +47,23 @@ def test_fft_decode_shift():
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
 
 
+def test_fft_decode_bf16_compute_close_to_f32():
+    # the TPU default path (FFTParameterizer compute_dtype="auto") runs the
+    # six DFT matmuls in bf16 with f32 accumulation; bound its deviation
+    # against the f32 decode on a realistic 1/f^decay spectrum
+    h, w = 96, 160
+    params = fft_init(jax.random.PRNGKey(3), (1, 3, h, w))
+    scale = jnp.asarray(fft_scale(h, w, 1.0))
+    f32 = np.asarray(fft_decode(params, scale, (h, w), contrast=1.1))
+    bf16 = np.asarray(fft_decode(params, scale, (h, w), contrast=1.1,
+                                 compute_dtype=jnp.bfloat16))
+    assert bf16.dtype == np.float32          # output stays f32
+    err = np.abs(bf16 - f32).max() / f32.std()
+    assert err < 0.02, err
+    corr = np.corrcoef(bf16.ravel(), f32.ravel())[0, 1]
+    assert corr > 0.9999
+
+
 def test_color_matrix_matches_torch_math():
     # reference image.py:15-19
     for colors in (1.0, 1.8):
