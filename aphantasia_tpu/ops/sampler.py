@@ -54,9 +54,13 @@ def _contract(img, wy, wx, dt_name):
     scales with min(H, W): contracting the WIDER frame axis first shrinks
     it H/W-fold (720p: 344MB -> 194MB bf16 — the r3 on-chip trace showed
     the intermediate's HBM round-trip as the single biggest non-tower op,
-    ~4.6 ms/step across fwd+bwd)."""
+    ~4.6 ms/step across fwd+bwd).  SQUARE canvases must stay on the
+    H-first branch (strict `<`): the intermediate is the same size either
+    way, but the W-first einsum's [S,C,N,H] layout costs 18% of the whole
+    4K step in retiling (on-chip A/B: 6.50 -> 7.95 it/s at 4096x4096,
+    docs/TPU_MEASUREMENTS_r3.md section 5)."""
     dt = jnp.dtype(dt_name)
-    if img.shape[1] <= img.shape[2]:      # H <= W: contract W first
+    if img.shape[1] < img.shape[2]:       # H < W: contract W first
         tmp = jnp.einsum("snw,chw->scnh", wx, img.astype(dt),
                          preferred_element_type=dt)
         return jnp.einsum("smh,scnh->scmn", wy, tmp,
@@ -74,7 +78,7 @@ def _contract_fwd(img, wy, wx, dt_name):
 def _contract_bwd(dt_name, res, g):
     wy, wx, img_shape = res
     dt = jnp.dtype(dt_name)
-    if img_shape[1] <= img_shape[2]:      # mirror the fwd order
+    if img_shape[1] < img_shape[2]:       # mirror the fwd order
         d_tmp = jnp.einsum("scmn,smh->scnh", g.astype(dt), wy,
                            preferred_element_type=dt)
         d_img = jnp.einsum("snw,scnh->chw", wx, d_tmp,
