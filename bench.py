@@ -174,8 +174,8 @@ def main():
             import sys
             from bench_illustrip import measure
             with contextlib.redirect_stdout(sys.stderr):  # keep the JSON
-                _, warm = measure(depth=0.0, frames=12)   # line clean+last
-                _, warm_d = measure(depth=1.0, frames=8)
+                _, warm = measure(depth=0.0, frames=24)   # line clean+last
+                _, warm_d = measure(depth=1.0, frames=16)
             result["video_frames_per_min"] = round(warm, 1)
             result["video_frames_per_min_depth"] = round(warm_d, 1)
         except Exception as e:  # pragma: no cover - hardware-dependent

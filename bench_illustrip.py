@@ -15,10 +15,17 @@ import tempfile
 import time
 
 
-def measure(depth: float, frames: int = 16):
+def measure(depth: float, frames: int = 24):
     """Returns (cold, warm) frames/min: the first run pays model init +
     compile; the second reuses the in-process jit cache, i.e. the sustained
-    production rate of a long render."""
+    production rate of a long render.
+
+    24/16-frame warm runs (vs 12/8 in r2-r3) cut the per-run setup share
+    that put ±30% on the short-sample numbers.  NOTE: a frame-mtime-based
+    estimator was tried and is WRONG here — the byte-bounded writer thread
+    drains queued frames in bursts (fastest at run end), so jpg mtime
+    spacing measures writer throughput, not render rate (it 'measured'
+    depth mode faster than no-depth)."""
     from aphantasia_tpu.cli import illustrip
 
     rates = []
@@ -45,7 +52,7 @@ def main():
     res["frames_per_min_cold"], res["frames_per_min"] = round(cold, 1), round(warm, 1)
     print(f"illustrip (no depth): {res['frames_per_min']} frames/min warm, "
           f"{res['frames_per_min_cold']} cold")
-    cold_d, warm_d = measure(depth=1.0, frames=8)
+    cold_d, warm_d = measure(depth=1.0, frames=16)
     res["frames_per_min_depth_cold"] = round(cold_d, 1)
     res["frames_per_min_depth"] = round(warm_d, 1)
     print(f"illustrip (3D depth warp): {res['frames_per_min_depth']} frames/min "
