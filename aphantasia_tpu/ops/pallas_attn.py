@@ -39,6 +39,24 @@ def _interpret() -> bool:
     return jax.default_backend() not in ("tpu", "axon")
 
 
+def _score_dtype(compute_dtype):
+    """dtype of the [n,n] score/probability intermediates in the FLAT kernels.
+
+    The r3 chained microbench (docs/TPU_MEASUREMENTS_r3.md §6) showed the
+    kernels are neither flop- nor exp-bound: ~0.09-0.11 ms per score-shaped
+    dot group REGARDLESS of shape (8x flop cuts barely move time), i.e. the
+    floor looks bytes-bound on the f32 [n,n] intermediates.  Opt-in
+    APHANTASIA_ATTN_SCORE_BF16=1 halves those bytes by keeping scores,
+    exp and probabilities in bf16 (row sums still accumulate in f32);
+    probability values lose ~0.4% relative precision, so this stays off
+    until an on-chip A/B shows a real win AND the tower goldens hold."""
+    import os
+    if (os.environ.get("APHANTASIA_ATTN_SCORE_BF16") == "1"
+            and compute_dtype == jnp.bfloat16):
+        return jnp.bfloat16
+    return jnp.float32
+
+
 def _merged_bias(bb: int, t_pad: int, t: int, causal: bool) -> jnp.ndarray:
     """Additive bias for the sample-merged [bb*t_pad, bb*t_pad] scores:
     -inf across samples, on padded key columns, and (optionally) above the
@@ -143,7 +161,8 @@ def _fwd_kernel_flat(qkv_ref, o_ref, inv_ref, *, bb, n_heads, t, causal):
     d = d3 // 3
     hd = d // n_heads
     scale = 1.0 / np.sqrt(hd)
-    bias = _merged_bias(bb, t, t, causal)
+    sdt = _score_dtype(qkv_ref.dtype)
+    bias = _merged_bias(bb, t, t, causal).astype(sdt)
     qkv = qkv_ref[...]
 
     outs, invs = [], []
@@ -151,11 +170,14 @@ def _fwd_kernel_flat(qkv_ref, o_ref, inv_ref, *, bb, n_heads, t, causal):
         q = qkv[:, h_i * hd:(h_i + 1) * hd]
         k = qkv[:, d + h_i * hd:d + (h_i + 1) * hd]
         v = qkv[:, 2 * d + h_i * hd:2 * d + (h_i + 1) * hd]
+        # Mosaic requires a 32-bit matmul accumulator; the cast AFTER the
+        # dot is what shrinks the materialized [n,n] intermediate to sdt
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
+                                preferred_element_type=jnp.float32
+                                ).astype(sdt) * scale
         s = s + bias
-        e = jnp.exp(jnp.minimum(s, 60.0))       # clamp > reduce (see _fwd_kernel)
-        inv = 1.0 / jnp.sum(e, -1, keepdims=True)
+        e = jnp.exp(jnp.minimum(s, 60.0))       # clamp > reduce; weak-typed
+        inv = 1.0 / jnp.sum(e, -1, keepdims=True, dtype=jnp.float32)
         o = jax.lax.dot_general(e.astype(qkv.dtype), v,
                                 (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32) * inv
@@ -171,7 +193,8 @@ def _bwd_kernel_flat(qkv_ref, do_ref, inv_ref, o_ref, dqkv_ref, *, bb,
     d = d3 // 3
     hd = d // n_heads
     scale = 1.0 / np.sqrt(hd)
-    bias = _merged_bias(bb, t, t, causal)
+    sdt = _score_dtype(qkv_ref.dtype)
+    bias = _merged_bias(bb, t, t, causal).astype(sdt)
     qkv = qkv_ref[...]
     do = do_ref[...]
     inv_all = inv_ref[...]
@@ -185,20 +208,25 @@ def _bwd_kernel_flat(qkv_ref, do_ref, inv_ref, o_ref, dqkv_ref, *, bb,
         do_h = do[:, h_i * hd:(h_i + 1) * hd]
         o_h = o[:, h_i * hd:(h_i + 1) * hd]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
+                                preferred_element_type=jnp.float32
+                                ).astype(sdt) * scale
         s = s + bias
         e = jnp.exp(jnp.minimum(s, 60.0))
-        p32 = e * inv_all[:, h_i:h_i + 1]
+        # probabilities in the score dtype: [n,n] stays bf16 end-to-end
+        # under APHANTASIA_ATTN_SCORE_BF16 (inv is f32 [n,1]; the product
+        # is forced back down so no f32 [n,n] copy materializes)
+        p32 = e * inv_all[:, h_i:h_i + 1].astype(sdt)
         p = p32.astype(qkv.dtype)
         dv = jax.lax.dot_general(p, do_h, (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(do_h, v, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
+                                 preferred_element_type=jnp.float32
+                                 ).astype(sdt)
         # flash-attention identity: sum_k dp_ik p_ik = do_i.o_i (see
         # _bwd_kernel) — kills the [n,n] rowsum reduction
         rs = jnp.sum(do_h.astype(jnp.float32) * o_h.astype(jnp.float32),
                      -1, keepdims=True)
-        ds = p32 * (dp - rs)
+        ds = p32 * (dp - rs.astype(sdt))
         ds = (ds * scale).astype(qkv.dtype)
         dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)

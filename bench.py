@@ -169,6 +169,18 @@ def main():
     # run = sustained production rate).  Guarded so the headline survives
     # any video failure; skip on CPU or with APHANTASIA_BENCH_NO_VIDEO=1.
     if on_tpu and not os.environ.get("APHANTASIA_BENCH_NO_VIDEO"):
+        # A degraded tunnel HANGS on device->host pulls rather than raising
+        # (observed 2026-08-19: a scalar pull took 195 s, then stopped
+        # returning at all), so the video stage is alarm-bounded — the
+        # headline JSON line must print even if illustrip never returns.
+        import signal
+
+        def _vtimeout(signum, frame):  # pragma: no cover - hw-dependent
+            raise TimeoutError("video bench exceeded APHANTASIA_BENCH_VIDEO_TIMEOUT")
+
+        budget = int(os.environ.get("APHANTASIA_BENCH_VIDEO_TIMEOUT", "1500"))
+        old_handler = signal.signal(signal.SIGALRM, _vtimeout)
+        signal.alarm(budget)
         try:
             import contextlib
             import sys
@@ -180,6 +192,9 @@ def main():
             result["video_frames_per_min_depth"] = round(warm_d, 1)
         except Exception as e:  # pragma: no cover - hardware-dependent
             result["video_error"] = repr(e)[:120]
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old_handler)
     print(json.dumps(result))
 
 

@@ -127,3 +127,32 @@ def test_fused_tower_matches_xla_tower():
         PA._interpret = orig_interp
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                atol=5e-5, rtol=5e-4)
+
+
+def test_attention_core_flat_score_bf16(monkeypatch):
+    """APHANTASIA_ATTN_SCORE_BF16=1 keeps the [n,n] score/prob intermediates
+    in bf16 (opt-in bytes-bound experiment, docs/TPU_MEASUREMENTS_r3.md §6).
+    Probabilities lose ~0.4% relative precision; fwd+VJP must stay within
+    that envelope of the f32-score kernel on bf16 inputs."""
+    from aphantasia_tpu.ops.pallas_attn import attention_core_flat
+    b, t, h, hd = 4, 12, 2, 8
+    d = h * hd
+    qkv = jax.random.normal(jax.random.PRNGKey(7), (b, t, 3 * d), jnp.bfloat16)
+    co = jax.random.normal(jax.random.PRNGKey(8), (b, t, d), jnp.bfloat16)
+
+    def run(q):
+        flat = attention_core_flat(q.reshape(b * t, 3 * d), h, t)
+        return flat.reshape(b, t, d)
+
+    monkeypatch.delenv("APHANTASIA_ATTN_SCORE_BF16", raising=False)
+    out32 = np.asarray(run(qkv), np.float32)
+    g32 = np.asarray(jax.grad(
+        lambda q: jnp.sum(run(q).astype(jnp.float32) * co))(qkv), np.float32)
+    monkeypatch.setenv("APHANTASIA_ATTN_SCORE_BF16", "1")
+    out16 = np.asarray(run(qkv), np.float32)
+    g16 = np.asarray(jax.grad(
+        lambda q: jnp.sum(run(q).astype(jnp.float32) * co))(qkv), np.float32)
+
+    np.testing.assert_allclose(out16, out32, atol=3e-2, rtol=3e-2)
+    scale = np.abs(g32).max()
+    np.testing.assert_allclose(g16 / scale, g32 / scale, atol=5e-2)

@@ -122,3 +122,30 @@ def test_pallas_cutout_matches_xla():
     gb = jax.grad(lambda im: jnp.sum(sp.cut(im, boxes) ** 2))(img)
     np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), rtol=5e-2,
                                atol=5e-2)
+
+
+def test_contract_branch_transpose_invariance():
+    """The H-first / W-first einsum orders (sampler._contract picks by
+    `H < W`) must be numerically interchangeable: cutting a transposed
+    frame with swapped boxes/taps lands on the OTHER branch and must give
+    transposed cutouts and transposed image gradients.  Guards the seam
+    where round 3's square-canvas layout regression lived (the branch
+    predicate flipped square frames onto the W-first order; see
+    docs/TPU_MEASUREMENTS_r3.md section 5)."""
+    from aphantasia_tpu.ops.sampler import _contract
+    rs = np.random.RandomState(11)
+    for h, w in [(48, 48), (64, 40), (40, 64)]:
+        img = jnp.asarray(rs.rand(3, h, w).astype(np.float32))
+        wy = jnp.asarray(rs.rand(5, 16, h).astype(np.float32))
+        wx = jnp.asarray(rs.rand(5, 16, w).astype(np.float32))
+        a = np.asarray(_contract(img, wy, wx, "float32"))
+        b = np.asarray(_contract(jnp.swapaxes(img, 1, 2), wx, wy, "float32"))
+        np.testing.assert_allclose(a, np.swapaxes(b, 2, 3), rtol=1e-5,
+                                   atol=1e-5)
+        ga = jax.grad(lambda im: jnp.sum(
+            _contract(im, wy, wx, "float32") ** 2))(img)
+        gb = jax.grad(lambda im: jnp.sum(
+            _contract(im, wx, wy, "float32") ** 2))(jnp.swapaxes(img, 1, 2))
+        np.testing.assert_allclose(np.asarray(ga),
+                                   np.swapaxes(np.asarray(gb), 1, 2),
+                                   rtol=1e-5, atol=1e-5)
