@@ -256,9 +256,11 @@ def _verify_vqgan(path):
             f"decode finite ({cfg.name}; math golden-bound in tests/test_vqgan.py)")
 
 
-def main(argv=None):
-    argv = sys.argv[1:] if argv is None else argv
-    ckpt_dir = argv[0] if argv else None
+def collect_rows(ckpt_dir):
+    """Resolve + convert + verify every tower; returns (rows, any_failed)
+    with rows = [(component, path-or-'-', status, detail), ...].  Split out
+    of main() so scripts/verify_real.py can reuse the exact verification
+    path and record the rows in its JSON report (VERDICT r3 item 7)."""
     os.environ.setdefault("APHANTASIA_QUIET", "1")  # no random-init banners
 
     from aphantasia_tpu.weights import env_weights
@@ -304,6 +306,13 @@ def main(argv=None):
             status, detail = "FAILED", f"{type(e).__name__}: {e}"
         any_failed |= status == "FAILED"
         rows.append((comp, path, status, detail))
+    return rows, any_failed
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    ckpt_dir = argv[0] if argv else None
+    rows, any_failed = collect_rows(ckpt_dir)
 
     w0 = max(len(r[0]) for r in rows) + 2
     w2 = max(len(r[2]) for r in rows) + 2

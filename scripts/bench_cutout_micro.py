@@ -37,8 +37,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from aphantasia_tpu.ops.sampler import CutoutSampler, _contract
 
 H, W, C, S, M = 720, 1280, 3, 200, 224
-BS = int(os.environ.get("BS", "4"))
+BS = int(os.environ.get("BS", "2"))   # 4 OOMs scoped vmem by 1.52M (r4)
 DT = jnp.bfloat16
+OUT_DT = jnp.bfloat16 if os.environ.get("OUT_BF16", "1") == "1" else jnp.float32
 CHAIN = int(os.environ.get("CHAIN", "50"))
 
 
@@ -78,7 +79,7 @@ def _fwd_kernel(img_ref, wy_ref, wx_ref, out_ref, *, bs, c):
                                      preferred_element_type=jnp.float32)
             out_ref[s, ch] = jax.lax.dot_general(
                 wy, t1.astype(img.dtype), (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32).astype(out_ref.dtype)
 
 
 def _bwd_kernel(g_ref, wy_ref, wx_ref, dimg_ref, *, bs, c):
@@ -123,7 +124,7 @@ def _blocked_fwd(img, wy, wx, bs):
         ],
         out_specs=pl.BlockSpec((bs, c, m, m), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((s, c, m, m), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((s, c, m, m), OUT_DT),
     )(img, wy, wx)
     return out, (wy, wx, img.shape)
 
@@ -146,7 +147,7 @@ def _blocked_bwd(bs, res, g):
         out_specs=pl.BlockSpec((c, h, w), lambda i: (0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((c, h, w), jnp.float32),
-    )(g.astype(jnp.float32), wy, wx)
+    )(g.astype(DT), wy, wx)
     return dimg.astype(DT), jnp.zeros_like(wy), jnp.zeros_like(wx)
 
 
@@ -162,10 +163,17 @@ def main():
     wy, wx = jax.device_put(wy), jax.device_put(wx)
     print(f"geometry: S={S} BS={BS} frame {H}x{W} -> {M}x{M}  chain={CHAIN}")
 
-    # --- XLA production path (the two-einsum _contract with custom VJP)
+    # --- XLA production path (the two-einsum _contract with custom VJP).
+    # NOTE the loss must DEPEND on the output values: grad of .sum() gives
+    # a constant-ones cotangent that XLA's algebraic simplifier collapses
+    # (the first bwd einsum over g==1 becomes a reduce+broadcast) AND DCEs
+    # the fwd — the r4 first run 'measured' fwd+bwd at 0.566 ms that way.
+    def l2(o):
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
     xla_fwd = jax.jit(lambda i, a, b: _contract(i, a, b, "bfloat16"))
     xla_gr = jax.jit(jax.grad(
-        lambda i, a, b: _contract(i, a, b, "bfloat16").sum()))
+        lambda i, a, b: l2(_contract(i, a, b, "bfloat16"))))
     print(f"XLA fwd     : {timeit(xla_fwd, img, wy, wx):7.3f} ms")
     print(f"XLA fwd+bwd : {timeit(xla_gr, img, wy, wx):7.3f} ms")
 
@@ -173,7 +181,7 @@ def main():
     try:
         pf = jax.jit(lambda i, a, b: blocked_cut(i, a, b, BS))
         pg = jax.jit(jax.grad(
-            lambda i, a, b: blocked_cut(i, a, b, BS).sum()))
+            lambda i, a, b: l2(blocked_cut(i, a, b, BS))))
         ref = xla_fwd(img, wy, wx).astype(jnp.float32)
         got = pf(img, wy, wx).astype(jnp.float32)
         dev = float(jnp.abs(ref - got).max())
