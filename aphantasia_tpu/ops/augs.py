@@ -113,9 +113,10 @@ def transforms_fast(key, cuts):
     here, once per batch there (transforms.py:75).
 
     OPT-IN via APHANTASIA_EXACT_PERSP=1: the r3 TPU A/B measured this
-    pipeline at 7.7 it/s headline vs the affine fit's 24.4 (the kernel's
-    banded matmuls add ~89 ms/step fwd+bwd at 200 samples) — see
-    get_transform / docs/TPU_MEASUREMENTS_r3.md."""
+    pipeline at 7.7 it/s headline vs the affine fit's 24.4; the r4 rework
+    (bf16 boundary + batched-issue kernels + bwd tiering + drawn-sample
+    compaction of this p=0.2 stage) moved it substantially — current
+    numbers in docs/TPU_MEASUREMENTS_r4.md; see get_transform."""
     s, c, h, w = cuts.shape
     k1, k2, k3 = jax.random.split(key, 3)
     from aphantasia_tpu.ops.perspective import (perspective_endpoints,
@@ -125,6 +126,10 @@ def transforms_fast(key, cuts):
     start, end = perspective_endpoints(k1, s, h, w, distortion=0.33, p=0.2)
     coef = perspective_coeffs(start, end)
     flags = (jnp.abs(end - start[None]).max((1, 2)) > 0).astype(jnp.int32)
+    # full batch, NOT perspective_warp_compact: the r4 on-chip A/B
+    # measured compaction SLOWER (4.43 vs 3.87 ms fwd — the permutation
+    # gathers cost more than the copy-branch grid steps they remove;
+    # docs/TPU_MEASUREMENTS_r4.md §3), so route a stays available but off
     cuts = perspective_warp(cuts, coef, flags)
     cuts = random_erasing(k3, cuts)
     # rotate stage through the same kernel (rotation is a homography):

@@ -29,15 +29,19 @@ gather at all:
   that Bernoulli as a prefetched per-sample flag and `pl.when`-skips the
   whole tile into a copy, so the expected cost is p * worst-case.
 
-Layouts are chosen so no in-kernel relayout exists and every dynamic
-sublane window is 16-aligned (Mosaic requires provably tile-aligned
-dynamic indices in the second-minor dim — bases are floored to 16 and
-annotated `pl.multiple_of`; windows carry +16 slack): the forward runs
-one [C*K, X] @ [X, W] matmul per output row (channels merged into M;
-output row written straight into the natural [C, tv, W] tile), and the
-backward walks the cotangent row window in aligned 16-row chunks with a
-static in-chunk unroll of per-row [C*tv, U] @ [U, Qx] matmuls,
-accumulating dimg tiles in fp32.
+Layouts are chosen so every dynamic sublane window is 16-aligned (Mosaic
+requires provably tile-aligned dynamic indices in the second-minor dim —
+bases are floored to 16 and annotated `pl.multiple_of`; windows carry +16
+slack).  The r4 rework batched the MXU issues (the r3-measured cost was
+issue-serialization, not flops): the forward runs one [C*K, X] @
+[X, G*ceil(W,128)] matmul per G=8 output rows (per-row weight matrices
+concatenated along lanes at a 128-aligned stride), and the backward folds
+each aligned 16-row cotangent chunk into ONE [C*tv, 16W] @ [16W, Qx] dot
+via the block-matmul identity, accumulating dimg tiles in fp32.  Both
+directions tier their window sizes per sample from exact corner ranges
+(_fwd_bases_tiered / _bwd_bases_tiered), and the p=0.2 perspective stage
+can route only DRAWN samples through the kernel via permutation
+compaction (perspective_warp_compact — no scatter anywhere).
 """
 from __future__ import annotations
 
@@ -119,6 +123,19 @@ def k_rot_bwd(h: int, w: int, tv: int) -> int:
     return min(_round_up(tv + int(0.5 * w + 0.87 * tv) + 28, 16), h)
 
 
+def k_bwd_small(h: int, tv: int) -> int:
+    """Small perspective bwd tier (r4): most drawn samples' inverse-map
+    row range over a tv-row tile stays well under the 0.243*h family
+    bound; the tier split is EXACT per sample (_bwd_bases_tiered)."""
+    return min(_round_up(tv + int(np.ceil(0.10 * h)) + 28, 16), h)
+
+
+def k_rot_bwd_small(h: int, w: int, tv: int) -> int:
+    """Small rotation bwd tier: |θ| <= ~15° has inverse range
+    <= 0.26*w + tv (half the nonzero draws of the uniform ±30° menu)."""
+    return min(_round_up(tv + int(0.26 * w + tv) + 28, 16), h)
+
+
 def _corner_minmax(coef, h, w, tv, inverse: bool):
     """[S, T] (min, max) over each 16-row tile of the source (or
     inverse-image) y-position, from the 4 tile-corner evaluations (exact:
@@ -144,11 +161,19 @@ def _corner_minmax(coef, h, w, tv, inverse: bool):
     return sy.min(-1), sy.max(-1)                                 # [S,T] x2
 
 
-def _bases(coef, h, w, tv, k, inverse, margin):
-    mn, _ = _corner_minmax(coef, h, w, tv, inverse)
+def _bwd_bases_tiered(coef, flags, h, w, tv, kb1, kb2, margin=3):
+    """Tier the backward windows from the EXACT per-sample inverse-map
+    ranges (r4: the bwd previously paid the worst-case family window for
+    every drawn sample).  Same contract as _fwd_bases_tiered."""
+    mn, mx = _corner_minmax(coef, h, w, tv, inverse=True)
+    rng = (mx - mn).max(-1)                                       # [S]
+    tier = jnp.where(rng + 24.0 <= kb1, 1, 2).astype(jnp.int32)
+    flags = flags * tier
+    kcap = jnp.where(flags == 1, max(h - kb1, 0),
+                     max(h - kb2, 0)).astype(jnp.int32)           # [S]
     yb = jnp.floor(mn).astype(jnp.int32) - margin
     yb = (yb // 16) * 16        # Mosaic: dynamic sublane windows 16-aligned
-    return jnp.clip(yb, 0, max(h - k, 0))
+    return flags, jnp.clip(yb, 0, kcap[:, None])
 
 
 def _fwd_bases_tiered(coef, flags, h, w, tv, k1, k2):
@@ -186,6 +211,9 @@ def _tap_sum(s, n):
     return (1.0 - t) * in0 + t * in1
 
 
+_FWD_G = 8          # output rows per MXU issue (group-concatenated wx)
+
+
 def _fwd_kernel(flags_ref, ybase_ref, coef_ref, img_ref, imgtile_ref,
                 out_ref, *, tv, k1, k2, h, w, c, cdtype):
     s = pl.program_id(0)
@@ -198,30 +226,38 @@ def _fwd_kernel(flags_ref, ybase_ref, coef_ref, img_ref, imgtile_ref,
         out_ref[0] = imgtile_ref[0]
 
     def _warp_body(k):
+        # r4 rework: the per-row [C*K,X]@[X,W] dots serialized 16 MXU
+        # issues per tile; concatenating G rows' weight matrices along the
+        # lanes (stride padded to a 128 multiple so per-row slices stay
+        # lane-tile aligned) makes it tv/G issues of N = G*wp lanes.
+        g, wp = _FWD_G, _round_up(w, 128)
         yb = pl.multiple_of(ybase_ref[s, t], 16)
         cf = tuple(coef_ref[s, i] for i in range(8))
         bwin = img_ref[0, :, pl.ds(yb, k), :]                    # [C, K, X]
         bflat = bwin.reshape(c * k, w).astype(cdtype)            # [C*K, X]
         ybf = ybase_ref[s, t].astype(jnp.float32)
-        ul = (jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
-              .astype(jnp.float32) + 0.5)                        # [1, W]
-        xi = jax.lax.broadcasted_iota(jnp.int32, (w, w), 0).astype(
-            jnp.float32)                                         # [X, W]
-        ki = (jax.lax.broadcasted_iota(jnp.int32, (k, w), 0).astype(
-            jnp.float32) + ybf)                                  # [K, W]
-        for r in range(tv):
-            vv = jnp.float32(0.5) + (t * tv + r)
-            sx, sy = _rational(cf, ul, vv)                       # [1, W]
-            wx = jnp.maximum(0.0, 1.0 - jnp.abs(sx - xi))        # [X, W]
-            # channels merged into M: [C*K, X] @ [X, W] on the MXU
+        li = jax.lax.broadcasted_iota(jnp.int32, (1, g * wp), 1)
+        uu = (li % wp).astype(jnp.float32) + 0.5                 # [1, G*WP]
+        rr = (li // wp).astype(jnp.float32)                      # row in group
+        lane_ok = (li % wp) < w                                  # pad lanes
+        xi = jax.lax.broadcasted_iota(jnp.int32, (w, g * wp), 0).astype(
+            jnp.float32)                                         # [X, G*WP]
+        ki = (jax.lax.broadcasted_iota(jnp.int32, (k, g * wp), 0).astype(
+            jnp.float32) + ybf)                                  # [K, G*WP]
+        for g0 in range(0, tv, g):
+            vv = rr + (jnp.float32(0.5) + (t * tv + g0))
+            sx, sy = _rational(cf, uu, vv)                       # [1, G*WP]
+            wx = jnp.where(lane_ok,
+                           jnp.maximum(0.0, 1.0 - jnp.abs(sx - xi)), 0.0)
             acc = jax.lax.dot_general(
                 bflat, wx.astype(cdtype), (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=_dot_precision(cdtype))                # [C*K, W]
-            wy = jnp.maximum(0.0, 1.0 - jnp.abs(sy - ki))        # [K, W]
-            val = jnp.sum(acc.reshape(c, k, w) * wy[None], axis=1)
-            mask = _tap_sum(sx, w) * _tap_sum(sy, h)             # [1, W]
-            out_ref[0, :, r, :] = (val * mask).astype(out_ref.dtype)
+                precision=_dot_precision(cdtype))                # [C*K, G*WP]
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(sy - ki))        # [K, G*WP]
+            val = jnp.sum(acc.reshape(c, k, g * wp) * wy[None], axis=1)
+            mask = _tap_sum(sx, w) * _tap_sum(sy, h)             # [1, G*WP]
+            vm = (val * mask).astype(out_ref.dtype)              # [C, G*WP]
+            out_ref[0, :, g0:g0 + g, :] = vm.reshape(c, g, wp)[:, :, :w]
 
     if k1 == k2:
         @pl.when(flags_ref[s] != 0)
@@ -238,7 +274,7 @@ def _fwd_kernel(flags_ref, ybase_ref, coef_ref, img_ref, imgtile_ref,
 
 
 def _bwd_kernel(flags_ref, pbase_ref, coef_ref, g_ref, gtile_ref,
-                out_ref, *, tv, kb, h, w, c, cdtype):
+                out_ref, *, tv, kb1, kb2, h, w, c, cdtype):
     s = pl.program_id(0)
     t = pl.program_id(1)
 
@@ -246,45 +282,75 @@ def _bwd_kernel(flags_ref, pbase_ref, coef_ref, g_ref, gtile_ref,
     def _copy():
         out_ref[0] = gtile_ref[0]
 
-    @pl.when(flags_ref[s] != 0)
-    def _warp():
+    def _warp_body(kb):
+        # r4 rework: the per-cotangent-row [C*Tv,U]@[U,Qx] dots serialized
+        # kb MXU issues per tile (the r3-measured cost explosion).  The
+        # block-matmul identity sum_r A_r @ B_r = [A_1..A_16]@[[B_1];..]
+        # folds each 16-row chunk into ONE [C*Tv, 16*WP]@[16*WP, Qx] dot
+        # (K = 4096 fully pumps the MXU; 16x fewer issues), with the
+        # per-row weight/mask builds done batched over the merged (r, u)
+        # axis — the rationals evaluate on [16WP]-sized vectors only.
+        # Mosaic cannot shape-cast a [C,16,W] window's sublanes into
+        # lanes (probed: FAIL), so the cotangent arrives PRE-MERGED from
+        # XLA as [C, H*WP] with WP = 128-padded W — the 16-row chunk is
+        # then a dynamic LANE window at a 256-multiple (probed: OK).
         pb = pbase_ref[s, t]
         cf = tuple(coef_ref[s, i] for i in range(8))
+        wp = _round_up(w, 128)
+        n16 = 16 * wp
+        # lane-merged (r, u) decomposition for A (lanes) ...
+        li = jax.lax.broadcasted_iota(jnp.int32, (1, n16), 1)
+        lane_ok = (li % wp) < w
+        uu_l = (li % wp).astype(jnp.float32) + 0.5               # [1, 16WP]
+        rr_l = (li // wp).astype(jnp.float32)
+        # ... and sublane-merged (r, u) for B (sublanes)
+        si = jax.lax.broadcasted_iota(jnp.int32, (n16, 1), 0)
+        sub_ok = (si % wp) < w
+        uc = (si % wp).astype(jnp.float32) + 0.5                 # [16WP, 1]
+        rc = (si // wp).astype(jnp.float32)
         qxi = jax.lax.broadcasted_iota(
-            jnp.int32, (w, w), 1).astype(jnp.float32)            # lanes=qx
-        ul_i = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)    # lanes=u
-        uu_l = ul_i.astype(jnp.float32) + 0.5                    # [1, W]
-        uc_i = jax.lax.broadcasted_iota(
-            jnp.int32, (w, 1), 0).astype(jnp.float32)            # sub=u
-        yt = (jax.lax.broadcasted_iota(jnp.int32, (tv, w), 0).astype(
+            jnp.int32, (n16, w), 1).astype(jnp.float32)          # lanes=qx
+        yt = (jax.lax.broadcasted_iota(jnp.int32, (tv, n16), 0).astype(
             jnp.float32) + t * tv)                               # input row y
 
         def chunk(ci, acc):
-            # aligned 16-row cotangent chunk; rows unrolled statically
-            base = pl.multiple_of(pb + ci * 16, 16)
-            gblk = g_ref[0, :, pl.ds(base, 16), :]               # [C, 16, W]
-            for r in range(16):
-                j = (pb + ci * 16 + r).astype(jnp.float32)
-                # lane-oriented positions at output row j (for mask / wy)
-                sx_l, sy_l = _rational(cf, uu_l, j + 0.5)        # [1, W]
-                maskj = _tap_sum(sx_l, w) * _tap_sum(sy_l, h)    # [1, W]
-                # input rows of this tile tapped by output row j
-                wyj = jnp.maximum(0.0, 1.0 - jnp.abs(sy_l - yt))  # [Tv, W]
-                gm = gblk[:, r, :].astype(jnp.float32) * maskj   # [C, W]
-                a = (gm[:, None, :] * wyj[None]).reshape(c * tv, w)
-                # sublane-oriented x weights: wxq[u, qx]
-                sx_c, _ = _rational(cf, uc_i + 0.5, j + 0.5)     # [U, 1]
-                wxq = jnp.maximum(0.0, 1.0 - jnp.abs(sx_c - qxi))
-                acc = acc + jax.lax.dot_general(
-                    a.astype(cdtype), wxq.astype(cdtype),
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=_dot_precision(cdtype))            # [CT, Qx]
-            return acc
+            # aligned 16-row cotangent chunk, folded into one dot
+            base = pl.multiple_of((pb + ci * 16) * wp, 256)
+            gblk = g_ref[0, :, pl.ds(base, n16)]                 # [C, 16WP]
+            j0 = (pb + ci * 16).astype(jnp.float32)
+            jj_l = j0 + rr_l                                     # [1, 16WP]
+            sx_l, sy_l = _rational(cf, uu_l, jj_l + 0.5)         # [1, 16WP]
+            maskj = jnp.where(lane_ok,
+                              _tap_sum(sx_l, w) * _tap_sum(sy_l, h), 0.0)
+            wyj = jnp.maximum(0.0, 1.0 - jnp.abs(sy_l - yt))     # [Tv, 16WP]
+            gm = gblk.astype(jnp.float32) * maskj                # [C, 16WP]
+            a = (gm[:, None, :] * wyj[None]).reshape(c * tv, n16)
+            jj_c = j0 + rc                                       # [16WP, 1]
+            sx_c, _ = _rational(cf, uc, jj_c + 0.5)              # [16WP, 1]
+            wxq = jnp.where(sub_ok, jnp.maximum(
+                0.0, 1.0 - jnp.abs(sx_c - qxi)), 0.0)            # [16WP, Qx]
+            return acc + jax.lax.dot_general(
+                a.astype(cdtype), wxq.astype(cdtype),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_dot_precision(cdtype))                # [CT, Qx]
 
         acc = jax.lax.fori_loop(
             0, kb // 16, chunk, jnp.zeros((c * tv, w), jnp.float32))
         out_ref[0] = acc.reshape(c, tv, w).astype(out_ref.dtype)
+
+    if kb1 == kb2:
+        @pl.when(flags_ref[s] != 0)
+        def _w():
+            _warp_body(kb2)
+    else:
+        @pl.when(flags_ref[s] == 1)
+        def _w1():
+            _warp_body(kb1)
+
+        @pl.when(flags_ref[s] == 2)
+        def _w2():
+            _warp_body(kb2)
 
 
 def _prep(img, coef, flags):
@@ -342,18 +408,27 @@ def _bwd_call(g, coef, flags, family="persp"):
     # wider input tiles double the matmul's M (= c*tv rows) for better MXU
     # utilization; the window grows only ~1.2x (k_bwd), a clear net win
     tv = 32 if h % 32 == 0 else _TV
-    kb = k_rot_bwd(h, w, tv) if family == "rotate" else k_bwd(h, tv)
+    if family == "rotate":
+        kb1, kb2 = k_rot_bwd_small(h, w, tv), k_rot_bwd(h, w, tv)
+    else:
+        kb1, kb2 = k_bwd_small(h, tv), k_bwd(h, tv)
     t_tiles = h // tv
-    pbase = _bases(coef, h, w, tv, kb, inverse=True, margin=3)
-    kern = functools.partial(_bwd_kernel, tv=tv, kb=kb, h=h, w=w, c=c,
-                             cdtype=g.dtype)
+    flags, pbase = _bwd_bases_tiered(coef, flags, h, w, tv, kb1, kb2)
+    # the chunk windows arrive lane-merged: [S, C, H*WP] with W padded to
+    # a 128 multiple (the pad is one XLA copy; the reshape is free — the
+    # layout is already contiguous).  See _warp_body's Mosaic note.
+    wp = _round_up(w, 128)
+    g2 = g if wp == w else jnp.pad(g, ((0, 0), (0, 0), (0, 0), (0, wp - w)))
+    g2 = g2.reshape(s, c, h * wp)
+    kern = functools.partial(_bwd_kernel, tv=tv, kb1=kb1, kb2=kb2, h=h,
+                             w=w, c=c, cdtype=g.dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(s, t_tiles),
         in_specs=[
             pl.BlockSpec((s, 8), lambda i, t, *_: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, c, h, w), lambda i, t, *_: (i, 0, 0, 0),
+            pl.BlockSpec((1, c, h * wp), lambda i, t, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c, tv, w), lambda i, t, *_: (i, 0, t, 0),
                          memory_space=pltpu.VMEM),
@@ -366,11 +441,11 @@ def _bwd_call(g, coef, flags, family="persp"):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((s, c, h, w), g.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * s * c * tv * w * w * kb * t_tiles,
+            flops=2 * s * c * tv * w * w * kb1 * t_tiles,
             bytes_accessed=g.nbytes * 3,
             transcendentals=0),
         interpret=_interpret(),
-    )(flags, pbase, coef, g, g)
+    )(flags, pbase, coef, g2, g)
 
 
 @functools.lru_cache(maxsize=None)
@@ -449,3 +524,86 @@ def _core_bwd(family, res, g):
 
 
 _persp_core.defvjp(_core_fwd, _core_bwd)
+
+
+# --------------------------------------------------- drawn-sample compaction
+
+def default_budget(s: int, p: float = 0.2) -> int:
+    """Static compacted-batch size: Binomial(s, p) mean + 4.2 sigma + slack,
+    8-aligned.  Overflow probability ~1e-8 per step — and overflow only
+    falls back to the full-batch kernel, never changes semantics."""
+    import math
+    b = int(math.ceil(p * s + 4.2 * math.sqrt(p * (1 - p) * s))) + 2
+    return min(s, _round_up(b, 8))
+
+
+def perspective_warp_compact(img, coef, flags, family="persp", budget=None):
+    """perspective_warp that routes ONLY drawn samples through the banded
+    kernel (VERDICT r3 item 1 route a: the Bernoulli flags are PRNG-drawn
+    before the warp, so a fixed-size sub-batch — argsort by flag — cuts
+    the kernel's grid to ~p*S samples).  The undrawn rest rides two
+    batch-axis permutation gathers (full-row DMA copies, no scatter
+    anywhere: the custom VJP permutes the cotangent with the SAME index
+    arrays).  A draw-count overflow beyond `budget` (see default_budget)
+    falls back to the full-batch kernel under lax.cond — exact either way.
+    """
+    if flags is None or img.shape[2] % _TV:
+        return perspective_warp(img, coef, flags, family)
+    s = img.shape[0]
+    if budget is None:
+        budget = default_budget(s)
+    if budget >= s:
+        return perspective_warp(img, coef, flags, family)
+    coef, flags = _prep(img, coef, flags)
+    return _compact_core(family, int(budget), img, coef, flags)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _compact_core(family, budget, img, coef, flags):
+    out, _ = _compact_fwd(family, budget, img, coef, flags)
+    return out
+
+
+def _compact_order(flags):
+    order = jnp.argsort(-flags)          # drawn first; jnp.argsort is stable
+    inv = jnp.argsort(order)
+    return order, inv
+
+
+def _compact_fwd(family, budget, img, coef, flags):
+    order, inv = _compact_order(flags)
+    n = jnp.sum(flags > 0)
+    pc = jnp.take(coef, order[:budget], axis=0)
+    pf = jnp.take(flags, order[:budget], axis=0)
+
+    def compact(img):
+        permuted = jnp.take(img, order, axis=0)
+        warped = _fwd_call(permuted[:budget], pc, pf, family)
+        return jnp.take(jnp.concatenate([warped, permuted[budget:]]),
+                        inv, axis=0)
+
+    def full(img):
+        return _fwd_call(img, coef, flags, family)
+
+    out = jax.lax.cond(n <= budget, compact, full, img)
+    return out, (order, inv, n, coef, flags, pc, pf)
+
+
+def _compact_bwd(family, budget, res, g):
+    order, inv, n, coef, flags, pc, pf = res
+
+    def compact(g):
+        gp = jnp.take(g, order, axis=0)
+        d_first = _bwd_call(gp[:budget], pc, pf, family)
+        return jnp.take(jnp.concatenate([d_first, gp[budget:]]),
+                        inv, axis=0)
+
+    def full(g):
+        return _bwd_call(g, coef, flags, family)
+
+    dimg = jax.lax.cond(n <= budget, compact, full, g)
+    return (dimg, jnp.zeros_like(coef),
+            np.zeros(flags.shape, jax.dtypes.float0))
+
+
+_compact_core.defvjp(_compact_fwd, _compact_bwd)

@@ -26,7 +26,8 @@ from aphantasia_tpu.ops.augs import _ROT_ANGLES
 from aphantasia_tpu.ops.perspective import (perspective_endpoints,
                                             perspective_coeffs,
                                             rotation_coeffs_for)
-from aphantasia_tpu.ops.pallas_persp import perspective_warp
+from aphantasia_tpu.ops.pallas_persp import (perspective_warp,
+                                             perspective_warp_compact)
 
 
 def timeit(fn, img, *rest, iters=5, warmup=2):
@@ -71,10 +72,12 @@ def main():
     print(f"geometry: [{S},{C},{H},{W}] bf16, chain={CHAIN}; drawn: "
           f"persp {int(pflags.sum())}/200, rotate {int(rflags.sum())}/200")
 
-    for name, coef, flags, family in (
-            ("persp ", pcoef, pflags, "persp"),
-            ("rotate", rcoef, rflags, "rotate")):
-        fn = lambda i, c=coef, f=flags, fam=family: perspective_warp(
+    for name, coef, flags, family, warp in (
+            ("persp        ", pcoef, pflags, "persp", perspective_warp),
+            ("persp compact", pcoef, pflags, "persp",
+             perspective_warp_compact),
+            ("rotate       ", rcoef, rflags, "rotate", perspective_warp)):
+        fn = lambda i, c=coef, f=flags, fam=family, wp=warp: wp(
             i, c, f, family=fam)
         tf = timeit(fn, img)
         g = jax.grad(lambda i: l2(fn(i)))

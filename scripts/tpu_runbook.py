@@ -82,7 +82,34 @@ def stage_persp():
     # bf16 production path compiles too
     perspective_warp(img.astype(jnp.bfloat16), coef, flags).block_until_ready()
     print("persp: bf16 path compiled OK", flush=True)
-    return ok
+
+    # rotate family + compaction (r4 kernel rework) on-chip parity
+    from aphantasia_tpu.ops.pallas_persp import perspective_warp_compact
+    from aphantasia_tpu.ops.perspective import rotation_coeffs_for
+    ang = jnp.asarray([0, -30, 15, 7, 0, -3, 29, 11], jnp.float32)
+    rcoef = rotation_coeffs_for(ang, h, w)
+    rflags = (jnp.abs(ang) > 0).astype(jnp.int32)
+    rout = jax.jit(lambda x: perspective_warp(
+        x, rcoef, rflags, family="rotate"))(img)
+    rm = (rflags > 0)[:, None, None, None]
+    rref = jnp.where(rm, homography_warp(img, rcoef), img)
+    rdev = float(jnp.abs(rout - rref).max())
+    rg1 = jax.jit(jax.grad(lambda x: jnp.sum(perspective_warp(
+        x, rcoef, rflags, family="rotate") * co)))(img)
+    rg2 = jax.grad(lambda x: jnp.sum(
+        jnp.where(rm, homography_warp(x, rcoef), x) * co))(img)
+    rgdev = float(jnp.abs(rg1 - rg2).max())
+    cout = jax.jit(lambda x: perspective_warp_compact(
+        x, coef, flags, budget=7))(img)        # budget < s: compact path
+    cdev = float(jnp.abs(cout - out).max())
+    cg = jax.jit(jax.grad(lambda x: jnp.sum(perspective_warp_compact(
+        x, coef, flags, budget=7) * co)))(img)
+    cgdev = float(jnp.abs(cg - g1).max())
+    rok = rdev <= 1e-3 and rgdev <= 1e-3 and cdev == 0.0 and cgdev == 0.0
+    print(f"persp: rotate {'PASS' if rok else 'FAIL'} fwd_dev={rdev:.2e} "
+          f"bwd_dev={rgdev:.2e} compact_dev={cdev:.2e}/{cgdev:.2e}",
+          flush=True)
+    return ok and rok
 
 
 def stage_ab():

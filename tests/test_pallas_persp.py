@@ -196,3 +196,36 @@ def test_exact_pipeline_rotate_stage_torch_golden():
             family="rotate"))
         want = _torch_rotate(torch.from_numpy(img), angle).numpy()
         np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_compact_matches_full_and_overflow_falls_back():
+    """perspective_warp_compact == perspective_warp (fwd + grad), in both
+    regimes: drawn-count within budget (compact branch) and overflow
+    (full-batch fallback branch under lax.cond)."""
+    from aphantasia_tpu.ops.pallas_persp import perspective_warp_compact
+    h = w = 48
+    s = 12
+    img = jax.random.normal(jax.random.PRNGKey(1), (s, 3, h, w), jnp.float32)
+    co = jax.random.normal(jax.random.PRNGKey(2), img.shape)
+    coef, flags = _family(jax.random.PRNGKey(0), s, h, w, p=0.5)
+    n = int((np.asarray(flags) > 0).sum())
+    assert 0 < n < s
+    for budget in (min(n + 2, s - 1),     # compact branch taken
+                   max(n - 1, 1)):        # overflow -> full fallback
+        out = jax.jit(lambda x: perspective_warp_compact(
+            x, coef, flags, budget=budget))(img)
+        ref = jax.jit(perspective_warp)(img, coef, flags)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
+        g1 = jax.jit(jax.grad(lambda x: jnp.sum(perspective_warp_compact(
+            x, coef, flags, budget=budget) * co)))(img)
+        g2 = jax.jit(jax.grad(lambda x: jnp.sum(
+            perspective_warp(x, coef, flags) * co)))(img)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   atol=1e-5)
+
+
+def test_compact_default_budget():
+    from aphantasia_tpu.ops.pallas_persp import default_budget
+    assert default_budget(200) == 72      # 40 + 4.2*5.66 + 2 -> 8-aligned
+    assert default_budget(8) == 8         # tiny batches: no compaction win
