@@ -95,11 +95,74 @@ def _contract_bwd(dt_name, res, g):
 _contract.defvjp(_contract_fwd, _contract_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _win_cut(sampler, dt_name, img, csize, offx, offy):
+    """Windowed-forward cutout (ops/pallas_cutout_win.py) with the dense
+    transpose as backward.  The fwd builds only the WINDOW-REBASED
+    weights (cheaper than dense) and keeps the inter-matmul intermediate
+    in VMEM; the bwd rebuilds the dense matrices from the taps — so the
+    ~145 MB wy/wx tensors never ride the residuals at all."""
+    out, _ = _win_cut_fwd(sampler, dt_name, img, csize, offx, offy)
+    return out
+
+
+def _win_cut_fwd(sampler, dt_name, img, csize, offx, offy):
+    from aphantasia_tpu.ops.pallas_cutout_win import windowed_cut_fwd
+    dt = jnp.dtype(dt_name)
+    boxes = Boxes(csize, offx, offy)
+    wyw, wxt = sampler.weight_matrices_windowed(boxes, dtype=dt)
+    cuts = windowed_cut_fwd(img.astype(dt), boxes, wyw, wxt,
+                            sampler.modsize, compute_dtype=dt)
+    return cuts, (csize, offx, offy, img.shape)
+
+
+def _win_cut_bwd(sampler, dt_name, res, g):
+    csize, offx, offy, img_shape = res
+    dt = jnp.dtype(dt_name)
+    wy, wx = sampler.weight_matrices(Boxes(csize, offx, offy), dtype=dt)
+    if img_shape[1] < img_shape[2]:       # mirror _contract_bwd
+        d_tmp = jnp.einsum("scmn,smh->scnh", g.astype(dt), wy,
+                           preferred_element_type=dt)
+        d_img = jnp.einsum("snw,scnh->chw", wx, d_tmp,
+                           preferred_element_type=jnp.float32)
+    else:
+        d_tmp = jnp.einsum("scmn,snw->scmw", g.astype(dt), wx,
+                           preferred_element_type=dt)
+        d_img = jnp.einsum("smh,scmw->chw", wy, d_tmp,
+                           preferred_element_type=jnp.float32)
+    z = lambda x: np.zeros(x.shape, jax.dtypes.float0)
+    return d_img, z(csize), z(offx), z(offy)
+
+
+_win_cut.defvjp(_win_cut_fwd, _win_cut_bwd)
+
+
 class Boxes(NamedTuple):
     """Per-sample crop boxes, in padded-frame coordinates."""
     csize: jnp.ndarray  # int32 [S] crop side
     offx: jnp.ndarray   # int32 [S]
     offy: jnp.ndarray   # int32 [S]
+
+
+def _dense_w(idx, wts, n, dtype):
+    """[S,M,4] taps -> dense [S,M,n] by 4 iota-compare passes."""
+    iota = jnp.arange(n, dtype=jnp.int32)[None, None, :]
+    acc = jnp.zeros(idx.shape[:2] + (n,), jnp.float32)
+    for a in range(4):       # taps can repeat an index at crop borders
+        acc = acc + jnp.where(iota == idx[:, :, a:a + 1],
+                              wts[:, :, a:a + 1], 0.0)
+    return acc.astype(dtype)
+
+
+def _dense_w_t(idx, wts, n, dtype):
+    """Transposed build: [S,M,4] taps -> [S,n,M] (for the windowed
+    kernel's pre-transposed Wx operand)."""
+    iota = jnp.arange(n, dtype=jnp.int32)[None, :, None]
+    acc = jnp.zeros((idx.shape[0], n, idx.shape[1]), jnp.float32)
+    for a in range(4):
+        acc = acc + jnp.where(iota == idx[:, None, :, a],
+                              wts[:, None, :, a], 0.0)
+    return acc.astype(dtype)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -194,18 +257,39 @@ class CutoutSampler:
         rounds)."""
         h, w = self.frame_size
         yidx, yw, xidx, xw = self.tap_indices(boxes)
+        return (_dense_w(yidx, yw, h, dtype), _dense_w(xidx, xw, w, dtype))
 
-        def dense(idx, wts, n):
-            iota = jnp.arange(n, dtype=jnp.int32)[None, None, :]
-            acc = jnp.zeros(idx.shape[:2] + (n,), jnp.float32)
-            for a in range(4):   # taps can repeat an index at crop borders
-                acc = acc + jnp.where(iota == idx[:, :, a:a + 1],
-                                      wts[:, :, a:a + 1], 0.0)
-            return acc.astype(dtype)
-
-        return dense(yidx, yw, h), dense(xidx, xw, w)
+    def weight_matrices_windowed(self, boxes: Boxes, dtype=jnp.float32):
+        """Window-rebased weights for the Pallas windowed forward
+        (ops/pallas_cutout_win.py): Wy [S,M,KHmax] with y-taps rebased to
+        the sample's 16-aligned row base, and Wx pre-TRANSPOSED
+        [S,KWmax,M] rebased to the 128-aligned col base — the kernel then
+        slices [:, :k_h] / [:k_w, :] per tier with no in-kernel
+        transposes.  Same taps as weight_matrices (exact parity)."""
+        from aphantasia_tpu.ops.pallas_cutout_win import (window_bases,
+                                                          tier_plan)
+        h, w = self.frame_size
+        yidx, yw, xidx, xw = self.tap_indices(boxes)
+        tier, rb, cb = window_bases(boxes, h, w, self.modsize)
+        plan = tier_plan(h, w, self.modsize)
+        wyw = _dense_w(yidx - rb[:, None, None], yw, plan[-1][1], dtype)
+        wxt = _dense_w_t(xidx - cb[:, None, None], xw, plan[-1][2], dtype)
+        return wyw, wxt
 
     # ---------------- the cutout op ---------------------------------------
+
+    def _win_eligible(self, img) -> bool:
+        """Windowed-forward gate: exact (non-overscan) frames whose padded
+        row stride fits the VMEM pin budget (~6.5 MB bf16), opt-in via
+        APHANTASIA_WIN_CUTOUT=1 (r4; measured on-chip before defaulting)."""
+        import os
+        if os.environ.get("APHANTASIA_WIN_CUTOUT") != "1":
+            return False
+        if self.padded_size != tuple(self.frame_size):
+            return False   # overscan tile maps break window rebasing
+        h, w = self.frame_size
+        wp = -(-w // 128) * 128
+        return img.shape[0] * h * wp * 2 <= 6_500_000
 
     def cut(self, img: jnp.ndarray, boxes: Boxes,
             compute_dtype=None) -> jnp.ndarray:
@@ -215,6 +299,10 @@ class CutoutSampler:
         if self.use_pallas:
             from aphantasia_tpu.ops.pallas_cutout import pallas_cut
             return pallas_cut(self, img, boxes)
+        if self._win_eligible(img):
+            dtn = jnp.dtype(compute_dtype or jnp.float32).name
+            return _win_cut(self, dtn, img, boxes.csize, boxes.offx,
+                            boxes.offy)
         dt = compute_dtype or jnp.float32
         wy, wx = self.weight_matrices(boxes, dtype=dt)
 

@@ -74,16 +74,16 @@ def _merged_kernel(qkv_ref, o_ref, inv_ref, *, bb, n_heads, t, gh):
     cols = jax.lax.broadcasted_iota(jnp.int32, (n, ng), 1) % n
     ok = (rows // t) == (cols // t)
 
+    # block-diagonal placement mask (dynamic_update_slice is not lowered
+    # by Pallas TPU — tile the group's slab vertically and mask instead)
+    bd = ((jax.lax.broadcasted_iota(jnp.int32, (ng, gh * hd), 0) // n)
+          == (jax.lax.broadcasted_iota(jnp.int32, (ng, gh * hd), 1) // hd))
+
     for g0 in range(0, n_heads, gh):
-        kb = jnp.zeros((ng, gh * hd), qkv.dtype)
-        vb = jnp.zeros((ng, gh * hd), qkv.dtype)
-        for h in range(gh):
-            hh = g0 + h
-            kb = jax.lax.dynamic_update_slice(
-                kb, qkv[:, d + hh * hd:d + (hh + 1) * hd], (h * n, h * hd))
-            vb = jax.lax.dynamic_update_slice(
-                vb, qkv[:, 2 * d + hh * hd:2 * d + (hh + 1) * hd],
-                (h * n, h * hd))
+        kg = qkv[:, d + g0 * hd:d + (g0 + gh) * hd]            # [n, gh*hd]
+        vg = qkv[:, 2 * d + g0 * hd:2 * d + (g0 + gh) * hd]
+        kb = jnp.where(bd, jnp.concatenate([kg] * gh, 0), 0)   # [gh*n, gh*hd]
+        vb = jnp.where(bd, jnp.concatenate([vg] * gh, 0), 0)
         qa = qkv[:, g0 * hd:(g0 + gh) * hd]                    # [n, gh*hd]
         s = jax.lax.dot_general(qa, kb, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale

@@ -149,3 +149,33 @@ def test_contract_branch_transpose_invariance():
         np.testing.assert_allclose(np.asarray(ga),
                                    np.swapaxes(np.asarray(gb), 1, 2),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_windowed_cut_matches_dense(monkeypatch):
+    """Windowed Pallas forward (ops/pallas_cutout_win.py) == dense
+    contraction, fwd + grad, across all three csize tiers (r4)."""
+    import dataclasses
+    import jax
+    from aphantasia_tpu.ops.pallas_cutout_win import tier_plan
+
+    h, w = 96, 160
+    s, m = 12, 32
+    sampler = CutoutSampler((h, w), s, m, align="uniform", macro=0.4)
+    img = jax.random.normal(jax.random.PRNGKey(5), (3, h, w))
+    boxes = sampler.sample_boxes(jax.random.PRNGKey(6))
+    # make sure the draw covers more than one tier
+    plan = tier_plan(h, w, m)
+    cs = np.asarray(boxes.csize)
+    assert (cs <= plan[0][0]).any() and (cs > plan[0][0]).any()
+
+    ref = np.asarray(sampler.cut(img, boxes))
+    co = jax.random.normal(jax.random.PRNGKey(7), ref.shape)
+    g_ref = jax.grad(lambda x: jnp.sum(sampler.cut(x, boxes) * co))(img)
+
+    monkeypatch.setenv("APHANTASIA_WIN_CUTOUT", "1")
+    got = np.asarray(jax.jit(lambda x: sampler.cut(x, boxes))(img))
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
+    g_got = jax.jit(jax.grad(
+        lambda x: jnp.sum(sampler.cut(x, boxes) * co)))(img)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                               atol=2e-5, rtol=1e-4)
