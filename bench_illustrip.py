@@ -15,10 +15,15 @@ import tempfile
 import time
 
 
-def measure(depth: float, frames: int = 24):
+def measure(depth: float, frames: int = 24, warm_runs: int = 1):
     """Returns (cold, warm) frames/min: the first run pays model init +
-    compile; the second reuses the in-process jit cache, i.e. the sustained
-    production rate of a long render.
+    compile; later runs reuse the in-process jit cache, i.e. the sustained
+    production rate of a long render.  `warm` is the MEDIAN over
+    `warm_runs` post-compile windows (VERDICT r3 item 4: a single short
+    window carried a ±30% historical spread — the compile cost is paid
+    once, so extra warm windows cost only ~10-20 s each and make the
+    metric regression-detectable).  With warm_runs > 1 the return is
+    (cold, [rate, ...]); callers take median/spread.
 
     24/16-frame warm runs (vs 12/8 in r2-r3) cut the per-run setup share
     that put ±30% on the short-sample numbers.  NOTE: a frame-mtime-based
@@ -29,7 +34,7 @@ def measure(depth: float, frames: int = 24):
     from aphantasia_tpu.cli import illustrip
 
     rates = []
-    for _ in range(2):
+    for _ in range(1 + warm_runs):
         out = tempfile.mkdtemp(prefix="bench_trip_")
         argv = ["-t", "benchmark scene", "--size", "1280-720",
                 "--steps", str(frames), "--fstep", str(frames),
@@ -43,7 +48,9 @@ def measure(depth: float, frames: int = 24):
         dt = time.perf_counter() - t0
         shutil.rmtree(out, ignore_errors=True)
         rates.append(frames / dt * 60.0)
-    return rates[0], rates[1]
+    if warm_runs == 1:
+        return rates[0], rates[1]
+    return rates[0], rates[1:]
 
 
 def main():
