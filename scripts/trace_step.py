@@ -125,6 +125,9 @@ def main():
     ap.add_argument("--grep", default=None,
                     help="also print the full HLO text of ops whose name "
                          "starts with this prefix")
+    ap.add_argument("--dump-top", type=int, default=0,
+                    help="print the full HLO text of the N most expensive "
+                         "individual ops (name-agnostic)")
     args = ap.parse_args()
 
     import jax
@@ -170,6 +173,13 @@ def main():
                 print(f"\n--- {ps/1e9/nsteps:.4f} ms/step ---")
                 print(name[:2000])
                 shown += 1
+
+    if args.dump_top:
+        print(f"\n== full HLO of the top {args.dump_top} ops ==")
+        for name, ps in sorted(per_full.items(),
+                               key=lambda kv: -kv[1])[:args.dump_top]:
+            print(f"\n--- {ps/1e9/nsteps:.4f} ms/step ---")
+            print(name[:2400])
 
 
 if __name__ == "__main__":
