@@ -72,6 +72,15 @@ XMEM = {"ViT-B/16": 0.25, "ViT-L/14": 0.04, "RN50": 0.5, "RN50x4": 0.16,
 # ------------------------------------------------------------------ layers
 
 def layer_norm(x, p, eps=1e-5):
+    # Pallas fused path (opt-in APHANTASIA_PALLAS_LN=1): the r4 profile
+    # put the 24 fwd+bwd LNs at 3.83 ms/step because XLA materializes the
+    # f32-converted activations around each reduction; the kernel keeps
+    # the f32 math register-resident (ops/pallas_ln.py)
+    import os
+    if os.environ.get("APHANTASIA_PALLAS_LN") == "1":
+        from aphantasia_tpu.ops.pallas_ln import layer_norm_fused, eligible
+        if eligible(x, p["g"]):
+            return layer_norm_fused(x, p["g"], p["b"], eps)
     # one-pass moments (E[x^2]-E[x]^2): a single fused reduction instead of
     # two chained ones; LN inputs are centered activations, so the
     # cancellation risk of the one-pass form is negligible at fp32
