@@ -76,6 +76,11 @@ def _block(sd, prefix):
 def convert_checkpoint(path_or_sd, expect_cfg=None):
     """Any supported CLIP checkpoint -> param pytree, dispatching on the
     state-dict naming scheme (OpenAI jit/.pt vs HuggingFace CLIPModel).
+    Plain `torch.save(state_dict())` .pt files in OpenAI naming — the
+    open_clip classic save format — load through the same path
+    (tests/test_convert.py).  NOT supported: open_clip CustomTextCLIP
+    checkpoints ('text.'-prefixed text tower) — unverifiable without a
+    real file; they fail loudly in the key lookups below.
 
     `expect_cfg`: optional CLIPConfig — verify the checkpoint's shapes
     match the model the caller asked for, with a readable error instead of

@@ -148,3 +148,20 @@ def test_wrong_model_raises_readable_error(tmp_path):
     save_jit_archive(oai_sd, path)
     with pytest.raises(ValueError, match="does not match CLIP model"):
         convert_checkpoint(str(path), expect_cfg=CLIP_CONFIGS["ViT-B/32"])
+
+
+def test_plain_state_dict_pt_open_clip_format(tmp_path):
+    """open_clip saves plain `torch.save(model.state_dict())` .pt files in
+    the OpenAI naming (no jit archive).  _read_state_dict's torch.load
+    fallback must convert them identically to the jit-archive path (r4 —
+    widens real-weight readiness beyond OpenAI's own downloads)."""
+    torch = pytest.importorskip("torch")
+    model = tiny_hf_model()
+    sd = hf_to_openai_sd(model)
+    path = str(tmp_path / "open_clip_vitb.pt")
+    torch.save(sd, path)
+    got = convert_checkpoint(path)
+    want = convert_checkpoint({k: v.numpy() for k, v in sd.items()})
+    for x, y in zip(jax.tree_util.tree_leaves(got),
+                    jax.tree_util.tree_leaves(want)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
