@@ -186,16 +186,29 @@ def main():
             import statistics
             import sys
             from bench_illustrip import measure
+            def marginal(f_small, small, f_big, big):
+                """Sustained long-render frames/min: the MARGINAL rate
+                between two warm window lengths — the ~6 s/run fixed
+                setup (prompt-encode dispatches, mp4 assembly, writer
+                drain) cancels exactly, leaving the steady-state rate a
+                long render converges to.  r4 decomposition: the frame
+                program computes at ~719 f/min, the async writer
+                sustains ~312, and short windows under-report 2-3x
+                (docs/TPU_MEASUREMENTS_r4.md §9)."""
+                t_small = f_small * 60.0 / statistics.median(small)
+                t_big = f_big * 60.0 / statistics.median(big)
+                return (f_big - f_small) * 60.0 / max(t_big - t_small, 1e-6)
+
             with contextlib.redirect_stdout(sys.stderr):  # keep the JSON
-                _, warms = measure(depth=0.0, frames=24,  # line clean+last
-                                   warm_runs=3)
-                _, warms_d = measure(depth=1.0, frames=16, warm_runs=3)
-            # median-of-3 warm windows + relative spread (VERDICT r3 item
-            # 4): regression bars live in BASELINE.md.  The windows are
-            # nearly free (per-stage cost is the two compiles); 24/16
-            # frames keeps the per-run overhead share small — the r4
-            # 16/12-frame experiment measured ~3 s/run of fixed overhead
-            # depressing the metric ~25%
+                _, w16 = measure(depth=0.0, frames=16,    # line clean+last
+                                 warm_runs=2)
+                _, w32 = measure(depth=0.0, frames=32, warm_runs=2)
+                _, w12d = measure(depth=1.0, frames=12, warm_runs=2)
+                _, w24d = measure(depth=1.0, frames=24, warm_runs=2)
+            # windowed medians (comparable to the r3 history) + spreads
+            # (VERDICT r3 item 4) + the sustained marginal rates; bars in
+            # BASELINE.md
+            warms, warms_d = w32, w24d
             med = statistics.median(warms)
             med_d = statistics.median(warms_d)
             result["video_frames_per_min"] = round(med, 1)
@@ -204,6 +217,10 @@ def main():
             result["video_frames_per_min_depth"] = round(med_d, 1)
             result["video_fpm_depth_spread"] = round(
                 (max(warms_d) - min(warms_d)) / med_d, 3)
+            result["video_fpm_sustained"] = round(
+                marginal(16, w16, 32, w32), 1)
+            result["video_fpm_sustained_depth"] = round(
+                marginal(12, w12d, 24, w24d), 1)
         except Exception as e:  # pragma: no cover - hardware-dependent
             result["video_error"] = repr(e)[:120]
         finally:
