@@ -152,10 +152,12 @@ class AsyncFrameWriter:
     on a tunneled TPU with one host core this dominated CLI wall time
     (a default 200-step 720p render spent ~3x its compute time in frame
     I/O).  `save()` enqueues the DEVICE array and returns immediately; a
-    worker thread pulls, tone-maps and encodes while the next training
-    dispatch runs.  The bounded queue (device arrays stay alive inside it)
-    applies back-pressure if the writer falls behind.  Call `close()` (or
-    use as a context manager) before assembling video.
+    PULL thread transfers device->host (strictly one transfer in flight)
+    and feeds an ENCODE thread that tone-maps + JPEG-encodes + writes —
+    the two stages overlap (r4: 182 vs 212-244 ms/frame serial), FIFO
+    order preserved.  The bounded queue (device arrays stay alive inside
+    it) applies back-pressure if the writer falls behind.  Call `close()`
+    (or use as a context manager) before assembling video.
     """
 
     def __init__(self, cap_bytes: int = 256_000_000):
@@ -166,12 +168,37 @@ class AsyncFrameWriter:
         # frame-count bound alone could let ~800MB of pending arrays pile
         # up (VERDICT r1 item 10). An oversized single chunk is admitted
         # only when the pipeline is empty, so it can never deadlock.
+        #
+        # TWO pipelined stages (r4): the device->host pull (network-bound,
+        # 131 ms/720p-frame on the tunnel) and the tone+JPEG+fs write
+        # (CPU-bound, GIL-releasing) previously serialized in one thread
+        # at ~192 ms/frame; a dedicated pull thread feeding an encode
+        # thread overlaps them while keeping exactly ONE transfer in
+        # flight (concurrent pulls degrade the tunneled runtime — see the
+        # _worker_pull NOTE).  FIFO order is preserved end to end.
+        import os
         self._q = queue.Queue()
+        self._q2 = queue.Queue(maxsize=4)      # pulled, awaiting encode
         self._cap = cap_bytes
         self._cv = threading.Condition()
         self._inflight = 0                     # bytes enqueued, not yet written
         self._err = None
-        self._thread = threading.Thread(target=self._worker, daemon=True)
+        # pipelined is the DEFAULT since the r4 same-session A/B with a
+        # drift control: pipelined 182 ms/frame vs serial 244/212 (before/
+        # after) at 720p on the tunneled chip — the encode hides under the
+        # next frame's transfer (docs/TPU_MEASUREMENTS_r4.md §9).  Opt out
+        # with APHANTASIA_WRITER_PIPELINED=0.
+        self._pipelined = os.environ.get(
+            "APHANTASIA_WRITER_PIPELINED", "1") == "1"
+        if self._pipelined:
+            self._thread = threading.Thread(target=self._worker_pull,
+                                            daemon=True)
+            self._thread2 = threading.Thread(target=self._worker_encode,
+                                             daemon=True)
+            self._thread2.start()
+        else:
+            self._thread = threading.Thread(target=self._worker_serial,
+                                            daemon=True)
         self._thread.start()
 
     @staticmethod
@@ -198,11 +225,35 @@ class AsyncFrameWriter:
             self._inflight -= nbytes
             self._cv.notify_all()
 
-    def _worker(self):
+    def _worker_serial(self):
         import numpy as np
         while True:
             item = self._q.get()
             if item is None:
+                return
+            path, arr, tone, nbytes = item
+            try:
+                # NOTE: plain transfer only — see _worker_pull
+                arr = np.asarray(arr)
+                if isinstance(path, list):     # save_batch chunk
+                    for i, p in enumerate(path):
+                        f = arr[i] if tone is None else tone(arr[i])
+                        img_save(p, f)
+                else:
+                    if tone is not None:
+                        arr = tone(arr)
+                    img_save(path, arr)
+            except Exception as e:             # surfaced by close()
+                self._err = e
+            finally:
+                self._release(nbytes)
+
+    def _worker_pull(self):
+        import numpy as np
+        while True:
+            item = self._q.get()
+            if item is None:
+                self._q2.put(None)             # propagate shutdown in order
                 return
             path, arr, tone, nbytes = item
             try:
@@ -211,6 +262,19 @@ class AsyncFrameWriter:
                 # serializes against the main thread's dispatches on the
                 # tunneled runtime and made runs ~4x slower
                 arr = np.asarray(arr)          # device->host off the main thread
+            except Exception as e:             # surfaced by close()
+                self._err = e
+                self._release(nbytes)
+                continue
+            self._q2.put((path, arr, tone, nbytes))
+
+    def _worker_encode(self):
+        while True:
+            item = self._q2.get()
+            if item is None:
+                return
+            path, arr, tone, nbytes = item
+            try:
                 if isinstance(path, list):     # save_batch chunk
                     for i, p in enumerate(path):
                         f = arr[i] if tone is None else tone(arr[i])
@@ -248,7 +312,9 @@ class AsyncFrameWriter:
 
     def close(self):
         self._q.put(None)
-        self._thread.join()
+        self._thread.join()        # (pipelined: pull stage forwards sentinel)
+        if self._pipelined:
+            self._thread2.join()   # encode stage drains
         if self._err:
             raise self._err
 

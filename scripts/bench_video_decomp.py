@@ -97,16 +97,23 @@ def main():
     import tempfile
     from aphantasia_tpu.io.media import AsyncFrameWriter
     out = tempfile.mkdtemp(prefix="vdecomp_")
-    writer = AsyncFrameWriter()
-    t0 = time.perf_counter()
-    for i in range(1 + 2 * N, 1 + 3 * N):
-        gp, os_, pe, frame, losses = frame_fn(
-            st["gp"], st["os"], st["pe"], clip_params, None, prompts,
-            jax.random.fold_in(key, i), jnp.int32(i), motion)
-        st = dict(gp=gp, os=os_, pe=pe)
-        writer.save(os.path.join(out, f"{i:06d}.jpg"), frame)
-    writer.close()
-    dt_w = time.perf_counter() - t0
+
+    def writer_pass(i0, pipelined):
+        os.environ["APHANTASIA_WRITER_PIPELINED"] = "1" if pipelined else "0"
+        writer = AsyncFrameWriter()
+        t0 = time.perf_counter()
+        for i in range(i0, i0 + N):
+            gp, os_, pe, frame, losses = frame_fn(
+                st["gp"], st["os"], st["pe"], clip_params, None, prompts,
+                jax.random.fold_in(key, i), jnp.int32(i), motion)
+            st.update(gp=gp, os=os_, pe=pe)
+            writer.save(os.path.join(out, f"{i:06d}.jpg"), frame)
+        writer.close()
+        return time.perf_counter() - t0
+
+    dt_w = writer_pass(1 + 2 * N, pipelined=False)
+    dt_wp = writer_pass(1 + 3 * N, pipelined=True)
+    dt_w2 = writer_pass(1 + 4 * N, pipelined=False)   # drift control
 
     print(f"frames={N} @720p, 100 samples, 3 opt-steps, FFT, no depth")
     print(f"compute-only       : {N / dt_c * 60:7.1f} frames/min "
@@ -115,6 +122,10 @@ def main():
           f"({dt_s / N * 1e3:.0f} ms/frame)")
     print(f"async writer + jpg : {N / dt_w * 60:7.1f} frames/min "
           f"({dt_w / N * 1e3:.0f} ms/frame, drained)")
+    print(f"  pipelined writer : {N / dt_wp * 60:7.1f} frames/min "
+          f"({dt_wp / N * 1e3:.0f} ms/frame)")
+    print(f"  serial again     : {N / dt_w2 * 60:7.1f} frames/min "
+          f"({dt_w2 / N * 1e3:.0f} ms/frame, drift control)")
     print(f"implied transfer   : {per_frame_transfer * 1e3:7.0f} ms/frame "
           f"(~{bw:.1f} MB/s effective link)")
     print("the CLI adds its host loop (motion schedule, progress, encs) "
