@@ -197,7 +197,10 @@ def main():
                 (docs/TPU_MEASUREMENTS_r4.md §9)."""
                 t_small = f_small * 60.0 / statistics.median(small)
                 t_big = f_big * 60.0 / statistics.median(big)
-                return (f_big - f_small) * 60.0 / max(t_big - t_small, 1e-6)
+                gap = t_big - t_small
+                if gap < 1.0:   # a tunnel stall inverted/crushed the gap;
+                    return None  # report nothing rather than an absurd rate
+                return (f_big - f_small) * 60.0 / gap
 
             with contextlib.redirect_stdout(sys.stderr):  # keep the JSON
                 _, w16 = measure(depth=0.0, frames=16,    # line clean+last
@@ -217,10 +220,12 @@ def main():
             result["video_frames_per_min_depth"] = round(med_d, 1)
             result["video_fpm_depth_spread"] = round(
                 (max(warms_d) - min(warms_d)) / med_d, 3)
-            result["video_fpm_sustained"] = round(
-                marginal(16, w16, 32, w32), 1)
-            result["video_fpm_sustained_depth"] = round(
-                marginal(12, w12d, 24, w24d), 1)
+            sus = marginal(16, w16, 32, w32)
+            sus_d = marginal(12, w12d, 24, w24d)
+            if sus is not None:
+                result["video_fpm_sustained"] = round(sus, 1)
+            if sus_d is not None:
+                result["video_fpm_sustained_depth"] = round(sus_d, 1)
         except Exception as e:  # pragma: no cover - hardware-dependent
             result["video_error"] = repr(e)[:120]
         finally:
