@@ -205,13 +205,16 @@ def main():
             with contextlib.redirect_stdout(sys.stderr):  # keep the JSON
                 _, w16 = measure(depth=0.0, frames=16,    # line clean+last
                                  warm_runs=2)
-                _, w32 = measure(depth=0.0, frames=32, warm_runs=2)
+                _, w48 = measure(depth=0.0, frames=48, warm_runs=2)
                 _, w12d = measure(depth=1.0, frames=12, warm_runs=2)
-                _, w24d = measure(depth=1.0, frames=24, warm_runs=2)
+                _, w36d = measure(depth=1.0, frames=36, warm_runs=2)
             # windowed medians (comparable to the r3 history) + spreads
-            # (VERDICT r3 item 4) + the sustained marginal rates; bars in
-            # BASELINE.md
-            warms, warms_d = w32, w24d
+            # (VERDICT r3 item 4) + the sustained marginal rates; the
+            # 16-vs-48 gap keeps the estimator's divisor ~6 s so timing
+            # noise cannot swing it the way 16-vs-32 did (r4 measured
+            # 252-490 f/min across same-day runs at the narrow gap);
+            # bars in BASELINE.md
+            warms, warms_d = w48, w36d
             med = statistics.median(warms)
             med_d = statistics.median(warms_d)
             result["video_frames_per_min"] = round(med, 1)
@@ -220,8 +223,8 @@ def main():
             result["video_frames_per_min_depth"] = round(med_d, 1)
             result["video_fpm_depth_spread"] = round(
                 (max(warms_d) - min(warms_d)) / med_d, 3)
-            sus = marginal(16, w16, 32, w32)
-            sus_d = marginal(12, w12d, 24, w24d)
+            sus = marginal(16, w16, 48, w48)
+            sus_d = marginal(12, w12d, 36, w36d)
             if sus is not None:
                 result["video_fpm_sustained"] = round(sus, 1)
             if sus_d is not None:
