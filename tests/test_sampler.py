@@ -179,3 +179,26 @@ def test_windowed_cut_matches_dense(monkeypatch):
         lambda x: jnp.sum(sampler.cut(x, boxes) * co)))(img)
     np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_windowed_bases_cover_all_taps():
+    """Property tripwire for the windowed kernel's coverage proof: for
+    every drawn box, EVERY bicubic tap index lands inside the sample's
+    tier window after rebasing (otherwise the kernel's sliced weights
+    would silently drop mass)."""
+    import jax
+    from aphantasia_tpu.ops.pallas_cutout_win import window_bases, tier_plan
+
+    for seed, (h, w) in [(0, (96, 160)), (1, (720, 1280)), (2, (64, 64))]:
+        m = 32 if min(h, w) < 200 else 224
+        sampler = CutoutSampler((h, w), 64, m, align="uniform", macro=0.4)
+        boxes = sampler.sample_boxes(jax.random.PRNGKey(seed))
+        yidx, _, xidx, _ = sampler.tap_indices(boxes)
+        tier, rb, cb = window_bases(boxes, h, w, m)
+        plan = tier_plan(h, w, m)
+        k_h = np.asarray([p[1] for p in plan])[np.asarray(tier)]
+        k_w = np.asarray([p[2] for p in plan])[np.asarray(tier)]
+        yloc = np.asarray(yidx) - np.asarray(rb)[:, None, None]
+        xloc = np.asarray(xidx) - np.asarray(cb)[:, None, None]
+        assert (yloc >= 0).all() and (yloc < k_h[:, None, None]).all(), (h, w)
+        assert (xloc >= 0).all() and (xloc < k_w[:, None, None]).all(), (h, w)
