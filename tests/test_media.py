@@ -85,3 +85,37 @@ def test_oversized_single_chunk_admitted_when_empty(tmp_path):
         w.save_batch(
             [str(tmp_path / ("f%d.jpg" % j)) for j in range(4)], chunk)
     assert len(os.listdir(tmp_path)) == 4
+
+
+def test_pure_avi_fallback_writes_readable_mjpeg(tmp_path, monkeypatch):
+    """The last link of the muxer chain (io/avi.py): with ffmpeg and cv2
+    unavailable, frames_to_video writes a pure-Python MJPEG AVI whose RIFF
+    structure and frame count check out."""
+    import shutil as _shutil
+    import struct
+    from aphantasia_tpu.io.media import frames_to_video, img_save
+
+    for i in range(3):
+        img_save(str(tmp_path / f"{i:04d}.jpg"),
+                 np.full((32, 48, 3), 40 * i, np.uint8))
+    monkeypatch.setattr(_shutil, "which", lambda *_: None)  # no ffmpeg
+    import builtins
+    real_import = builtins.__import__
+
+    def no_cv2(name, *a, **k):
+        if name == "cv2":
+            raise ImportError(name)
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_cv2)
+    out = frames_to_video(str(tmp_path), str(tmp_path / "out.mp4"))
+    assert out.endswith(".avi") and os.path.isfile(out)
+    data = open(out, "rb").read()
+    assert data[:4] == b"RIFF" and data[8:12] == b"AVI "
+    assert struct.unpack("<I", data[4:8])[0] == len(data) - 8  # RIFF size
+    assert data.count(b"00dc") >= 3      # one video chunk per frame (+index)
+
+
+def test_frames_to_video_no_frames_returns_none(tmp_path):
+    from aphantasia_tpu.io.media import frames_to_video
+    assert frames_to_video(str(tmp_path), str(tmp_path / "o.mp4")) is None
