@@ -78,9 +78,13 @@ def convert_checkpoint(path_or_sd, expect_cfg=None):
     state-dict naming scheme (OpenAI jit/.pt vs HuggingFace CLIPModel).
     Plain `torch.save(state_dict())` .pt files in OpenAI naming — the
     open_clip classic save format — load through the same path
-    (tests/test_convert.py).  NOT supported: open_clip CustomTextCLIP
-    checkpoints ('text.'-prefixed text tower) — unverifiable without a
-    real file; they fail loudly in the key lookups below.
+    (tests/test_convert.py).  open_clip CustomTextCLIP checkpoints
+    ('text.'-prefixed text tower) are rename-shimmed to OpenAI naming
+    first (_unwrap_custom_text; proven by exact-tree equality against the
+    plain-format conversion of the same tensors in
+    tests/test_convert_full.py).  The CustomTextCLIP sub-variant whose
+    text projection is an nn.Linear WITH bias has no slot in the OpenAI
+    parameterization and fails loudly.
 
     `expect_cfg`: optional CLIPConfig — verify the checkpoint's shapes
     match the model the caller asked for, with a readable error instead of
@@ -89,10 +93,40 @@ def convert_checkpoint(path_or_sd, expect_cfg=None):
     if any(k.startswith(("vision_model.", "text_model.")) for k in sd):
         params = convert_hf_clip(sd)
     else:
-        params = convert_openai_checkpoint(sd)
+        params = convert_openai_checkpoint(_unwrap_custom_text(sd))
     if expect_cfg is not None:
         _verify_cfg(params, expect_cfg)
     return params
+
+
+def _unwrap_custom_text(sd):
+    """open_clip CustomTextCLIP -> OpenAI naming (r5, VERDICT item 5).
+
+    CustomTextCLIP wraps the text tower in a `text.` submodule
+    (`text.transformer.resblocks.*`, `text.token_embedding.weight`,
+    `text.positional_embedding`, `text.ln_final.*`, `text.text_projection`)
+    while `visual.*` / `logit_scale` keep classic names — the shim is a
+    pure prefix strip, asserted tensor-identical to the plain conversion
+    in tests/test_convert_full.py.  A Linear text projection
+    (`text.text_projection.weight`) without bias is transposed into the
+    parameter slot; with bias it fails loudly (no OpenAI-form slot)."""
+    if not any(k.startswith("text.") for k in sd):
+        return sd
+    if "text.text_projection.bias" in sd:
+        raise ValueError(
+            "CustomTextCLIP checkpoint uses a biased Linear text projection "
+            "— no equivalent slot in the OpenAI CLIP parameterization")
+    out = {}
+    for k, v in sd.items():
+        if k == "text.text_projection.weight":
+            # nn.Linear stores [embed_dim, width]; the OpenAI parameter is
+            # [width, embed_dim]
+            out["text_projection"] = _np(v).T
+        elif k.startswith("text."):
+            out[k[len("text."):]] = v
+        else:
+            out[k] = v
+    return out
 
 
 def _verify_cfg(params, cfg):

@@ -71,13 +71,20 @@ XMEM = {"ViT-B/16": 0.25, "ViT-L/14": 0.04, "RN50": 0.5, "RN50x4": 0.16,
 
 # ------------------------------------------------------------------ layers
 
+# Read once at import (like the other kernel toggles): a per-call read is
+# trace-time-bound anyway — a jit cache populated under one env setting
+# keeps serving that path after the variable changes, which confuses
+# in-process A/Bs.  Import-time read makes the binding explicit.
+import os as _os
+_PALLAS_LN = _os.environ.get("APHANTASIA_PALLAS_LN") == "1"
+
+
 def layer_norm(x, p, eps=1e-5):
     # Pallas fused path (opt-in APHANTASIA_PALLAS_LN=1): the r4 profile
     # put the 24 fwd+bwd LNs at 3.83 ms/step because XLA materializes the
     # f32-converted activations around each reduction; the kernel keeps
     # the f32 math register-resident (ops/pallas_ln.py)
-    import os
-    if os.environ.get("APHANTASIA_PALLAS_LN") == "1":
+    if _PALLAS_LN:
         from aphantasia_tpu.ops.pallas_ln import layer_norm_fused, eligible
         if eligible(x, p["g"]):
             return layer_norm_fused(x, p["g"], p["b"], eps)

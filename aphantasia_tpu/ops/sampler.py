@@ -278,18 +278,26 @@ class CutoutSampler:
 
     # ---------------- the cutout op ---------------------------------------
 
-    def _win_eligible(self, img) -> bool:
+    def _win_eligible(self, img, compute_dtype=None) -> bool:
         """Windowed-forward gate: exact (non-overscan) frames whose padded
-        row stride fits the VMEM pin budget (~6.5 MB bf16), opt-in via
-        APHANTASIA_WIN_CUTOUT=1 (r4; measured on-chip before defaulting)."""
+        row stride fits the VMEM pin budget (~6.5 MB at bf16), opt-in via
+        APHANTASIA_WIN_CUTOUT=1 (r4; measured on-chip before defaulting).
+        The budget scales with the ACTUAL compute dtype (windowed_cut_fwd
+        pins img.astype(dt) — an f32 caller pins 2x the bf16 bytes), and a
+        chunk-configured sampler is disqualified: _win_cut_bwd runs the
+        dense transpose unchunked, re-materializing the [S,C,M,H]
+        intermediate that chunking exists to bound."""
         import os
         if os.environ.get("APHANTASIA_WIN_CUTOUT") != "1":
             return False
         if self.padded_size != tuple(self.frame_size):
             return False   # overscan tile maps break window rebasing
+        if self.chunk and self.count > self.chunk:
+            return False   # dense bwd would defeat the chunk bound
         h, w = self.frame_size
         wp = -(-w // 128) * 128
-        return img.shape[0] * h * wp * 2 <= 6_500_000
+        itemsize = jnp.dtype(compute_dtype or jnp.float32).itemsize
+        return img.shape[0] * h * wp * itemsize <= 6_500_000
 
     def cut(self, img: jnp.ndarray, boxes: Boxes,
             compute_dtype=None) -> jnp.ndarray:
@@ -299,7 +307,7 @@ class CutoutSampler:
         if self.use_pallas:
             from aphantasia_tpu.ops.pallas_cutout import pallas_cut
             return pallas_cut(self, img, boxes)
-        if self._win_eligible(img):
+        if self._win_eligible(img, compute_dtype):
             dtn = jnp.dtype(compute_dtype or jnp.float32).name
             return _win_cut(self, dtn, img, boxes.csize, boxes.offx,
                             boxes.offy)

