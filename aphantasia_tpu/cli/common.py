@@ -169,7 +169,12 @@ def add_parallel_flags(parser):
     devices (tensor parallel — for RN50x64/ViT-L scale towers)."""
     parser.add_argument('--mesh', default=None,
                         help="'N' = data-parallel cutouts over N devices; "
-                             "'NxM' = data x model (tensor-parallel CLIP)")
+                             "'NxM' = data x model (tensor-parallel CLIP); "
+                             "'dcn' = one data axis over EVERY process's "
+                             "devices, hosts-outer (use with --fleet "
+                             "R/W@coord — a single optimization spanning "
+                             "hosts; only the generator-grad psum crosses "
+                             "DCN)")
     parser.add_argument('--profile', default=None,
                         help='Capture a jax.profiler trace into this directory')
     parser.add_argument('--pallas', action='store_true',
@@ -198,15 +203,21 @@ def setup_mesh(spec, clip_wrappers=(), verbose=True):
                                               shard_clip_params)
     s = str(spec).lower()
     try:
-        if "x" in s:
+        if s == "dcn":
+            # single optimization spanning hosts (parallel/dcn.py): the
+            # data axis covers every process's devices, hosts-outer, so
+            # only the generator-grad psum crosses DCN
+            from aphantasia_tpu.parallel.dcn import make_mesh_dcn
+            mesh = make_mesh_dcn()
+        elif "x" in s:
             dp, tp = (int(v) for v in s.split("x"))
             mesh = make_mesh_2d(dp, tp)
         else:
             mesh = make_mesh(int(s), axes=("data",))
     except ValueError as e:
         raise SystemExit(
-            f"--mesh expects 'N' (data-parallel) or 'NxM' (data x model), "
-            f"got {spec!r}: {e}") from None
+            f"--mesh expects 'N' (data-parallel), 'NxM' (data x model) or "
+            f"'dcn' (multi-host data axis), got {spec!r}: {e}") from None
     # any mesh: route attention through the einsum path — XLA's SPMD
     # partitioner cannot partition the fused Pallas custom call (it would
     # insert gathers at best, miscompile at worst, and we cannot exercise

@@ -14,14 +14,18 @@ inside the full program; its autodiff scatter ~3.5s/step), so all warps
 are gather-free: every affine stage collapses into ONE per-sample affine
 applied by the separable LDU warp (ops/sep_warp.py — FFT-phase shears +
 scale matmuls), with the perspective stage of `fast` entering that warp
-as its least-squares affine FIT (default — r3 TPU A/B: 24.4 it/s vs the
-exact kernel's 7.7, docs/TPU_MEASUREMENTS_r3.md).  EXACT torchvision
-perspective semantics stay available via APHANTASIA_EXACT_PERSP=1: the
-banded one-hot-matmul Pallas kernel (ops/pallas_persp.py — draw and warp
-both exact, torch-golden in tests/test_aug_fidelity.py).  Remaining
-deviations (documented + measured in tests/test_aug_fidelity.py): the
-fit-vs-exact perspective deviation (mean 0.06 at full distortion; the
-DRAW is torchvision-exact either way); the affine stages' interpolant is
+as its least-squares affine FIT (default).  The full measured ladder
+(r5 same-session, docs/TPU_MEASUREMENTS_r5.md §1): affine 25.0 it/s /
+0.9928 embedding-cosine vs exact; MIXED (APHANTASIA_EXACT_PERSP=mixed —
+exact Pallas perspective + affine rotate) 17.5 it/s / 0.9997; fully
+exact (APHANTASIA_EXACT_PERSP=1, banded one-hot-matmul Pallas kernel,
+ops/pallas_persp.py) 10.6 it/s / exact by construction.  The affine
+default is EVIDENCE-CLOSED at the embedding level: pipeline-level cosine
+0.9928 >= the 0.98 target (the fit's error concentrates on the p=0.2
+persp-applied subset, 0.9764 there), pinned in tests/test_aug_fidelity.
+Remaining deviations (documented + measured there): the fit-vs-exact
+perspective deviation (pixel mean 0.06 at full distortion; the DRAW is
+torchvision-exact in every mode); the affine stages' interpolant is
 spectral (sinc) where torch's is bilinear; erasing commutes with the
 affine warp in custom/elastic; 'elastic' uses real smooth separable
 displacements (the reference passes a zero noise field to kornia — an
@@ -162,6 +166,34 @@ def transforms_fast_affine(key, cuts):
     return clip_normalize(cuts)
 
 
+def transforms_fast_mixed(key, cuts):
+    """The MIXED `fast` pipeline (r5, VERDICT item 1a — the unmeasured
+    ladder rung): EXACT torchvision perspective (the stage where the
+    affine fit actually errs — a homography is not affine) through the
+    banded one-hot-matmul Pallas kernel, then erasing, then the rotation
+    as a single LDU affine warp (a rotation IS affine, so the only
+    deviation left in that stage is sinc-vs-bilinear interpolant).
+    torch stage order preserved (persp, erase, rotate); same key split as
+    transforms_fast / transforms_fast_affine so A/B runs share draws.
+    Opt-in via APHANTASIA_EXACT_PERSP=mixed (get_transform).  Measured
+    (r5 same-session ladder, TPU_MEASUREMENTS_r5.md §1): 17.5 it/s
+    headline with embedding cosine 0.9997 vs the fully-exact pipeline —
+    embedding-exact augmentation at 70% of headline speed."""
+    s, c, h, w = cuts.shape
+    k1, k2, k3 = jax.random.split(key, 3)
+    from aphantasia_tpu.ops.perspective import (perspective_endpoints,
+                                                perspective_coeffs)
+    from aphantasia_tpu.ops.pallas_persp import perspective_warp
+    start, end = perspective_endpoints(k1, s, h, w, distortion=0.33, p=0.2)
+    coef = perspective_coeffs(start, end)
+    flags = (jnp.abs(end - start[None]).max((1, 2)) > 0).astype(jnp.int32)
+    cuts = perspective_warp(cuts, coef, flags)
+    cuts = random_erasing(k3, cuts)
+    aff = random_rotate_affine(k2, s)
+    cuts = affine_warp(cuts, aff, pad=56, compute_dtype=jnp.bfloat16)
+    return clip_normalize(cuts)
+
+
 def transforms_custom(key, cuts):
     """pad(4, gray) + rotate + jitter(8) + normalize (transforms.py:156-163).
     Gray border emulated by slight scale-down with 0.5 fill."""
@@ -274,20 +306,26 @@ def get_transform(name: str):
     fn(key, cuts) (selection logic parity: clip_fft.py:161-171; lucent/
     openai are the reference's legacy pipelines, transforms.py:118-143).
 
-    'fast' defaults to the AFFINE-FIT perspective (transforms_fast_affine):
-    the r3 TPU A/B measured the exact banded-matmul kernel at 7.7 vs
-    24.4 it/s headline (docs/TPU_MEASUREMENTS_r3.md), so the exact
-    torchvision semantics are OPT-IN via APHANTASIA_EXACT_PERSP=1 (probed
-    at build time — falls back LOUDLY if Mosaic rejects the kernel).  The
-    fit's deviation from the exact homography is measured and pinned in
-    tests/test_aug_fidelity.py (mean 0.06 at full distortion; the DRAW
-    distribution is torchvision-exact either way)."""
+    'fast' defaults to the AFFINE-FIT perspective (transforms_fast_affine)
+    — evidence-closed at the embedding level in r5 (pipeline cosine
+    0.9928 vs exact at the production config, TPU_MEASUREMENTS_r5.md §1).
+    APHANTASIA_EXACT_PERSP=mixed selects exact-perspective + affine-rotate
+    (17.5 it/s, cosine 0.9997); any other truthy value selects the fully
+    exact torchvision semantics (10.6 it/s).  Both probe the Pallas
+    kernel at build time and fall back LOUDLY if Mosaic rejects it.  The
+    fit's pixel deviation stays pinned in tests/test_aug_fidelity.py
+    (mean 0.06 at full distortion; the DRAW distribution is
+    torchvision-exact in every mode)."""
     import os
     if name == "fast":
-        if os.environ.get("APHANTASIA_EXACT_PERSP"):
+        mode = os.environ.get("APHANTASIA_EXACT_PERSP")
+        if mode:
             from aphantasia_tpu.ops.pallas_persp import kernel_supported
             if kernel_supported():
-                return transforms_fast
+                # 'mixed' = exact perspective + affine rotate (r5 ladder
+                # rung); any other truthy value = fully exact (r3/r4)
+                return (transforms_fast_mixed if mode == "mixed"
+                        else transforms_fast)
         return transforms_fast_affine
     return {
         "custom": transforms_custom,

@@ -128,6 +128,34 @@ def test_pipeline_affine_fit_deviation_pinned():
     print(f" fit-vs-exact mean deviation: {np.mean(devs):.4f}")
 
 
+def test_embedding_cosine_affine_and_mixed_pinned():
+    """r5 (VERDICT item 1b): the fidelity of the fast-pipeline variants
+    measured where it matters — CLIP-embedding cosine vs the exact
+    torchvision pipeline on identical draws/weights.  Production-scale
+    numbers (200 samples, 720p, 3 trials — scripts/measure_aug_cosine.py,
+    docs/TPU_MEASUREMENTS_r5.md): affine 0.9928 mean (0.9764 on the
+    persp-applied subset), mixed 0.9997.  This pins a reduced config
+    (32 samples, 240x320) so the cosines cannot silently degrade."""
+    import sys, os
+    scripts = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts")
+    sys.path.insert(0, scripts)
+    try:
+        from measure_aug_cosine import measure
+        out = measure(samples=32, trials=1, size=(240, 320), seed=5)
+    finally:
+        sys.path.remove(scripts)
+    af = out["affine_vs_exact"]["all"]
+    mx = out["mixed_vs_exact"]["all"]
+    # measured 2026-08-20 at this config: affine 0.988, mixed 0.9998
+    assert af["mean"] >= 0.97, af
+    assert mx["mean"] >= 0.997, mx
+    # mixed removes the fit error (persp is where the fit errs; rotate is
+    # affine-exact), so it must strictly dominate the fit
+    assert mx["mean"] > af["mean"], (af, mx)
+    assert mx["min"] > 0.99, mx
+
+
 def test_fast_transform_converges_like_none():
     """40-step tiny training: the full fast pipeline must reach a final
     similarity in the same band as transform='none' (augs are a training

@@ -26,6 +26,17 @@ def test_transform_jits_and_is_finite(name):
     assert bool(jnp.isfinite(out).all())
 
 
+def test_transforms_fast_mixed_jits_and_is_finite():
+    """The r5 mixed pipeline (exact Pallas persp + affine rotate) runs in
+    interpret mode on CPU and preserves shape/finiteness."""
+    from aphantasia_tpu.ops.augs import transforms_fast_mixed
+    key = jax.random.PRNGKey(7)
+    cuts = jax.random.uniform(key, (4, 3, 64, 64))
+    out = jax.jit(transforms_fast_mixed)(key, cuts)
+    assert out.shape == cuts.shape
+    assert bool(jnp.isfinite(out).all())
+
+
 @pytest.mark.parametrize("name", ["lucent", "openai"])
 def test_legacy_gray_fill_invariance(name):
     """A constant-0.5 image warped with fill=0.5 is still constant 0.5, so

@@ -31,6 +31,16 @@ def test_exact_perspective_remains_available(monkeypatch):
     assert augs.get_transform("fast") is want
 
 
+def test_mixed_perspective_mode_selectable(monkeypatch):
+    # the r5 ladder rung (exact persp + affine rotate, 17.5 it/s /
+    # cosine 0.9997 — TPU_MEASUREMENTS_r5.md §1) selects via =mixed
+    monkeypatch.setenv("APHANTASIA_EXACT_PERSP", "mixed")
+    from aphantasia_tpu.ops.pallas_persp import kernel_supported
+    want = augs.transforms_fast_mixed if kernel_supported() else \
+        augs.transforms_fast_affine
+    assert augs.get_transform("fast") is want
+
+
 def test_fused_attention_default_on():
     # pallas_attn is the one kernel family that won its on-chip A/B.
     # Mesh-path CLI tests legitimately mutate the module global (the custom
