@@ -163,6 +163,55 @@ def main():
     if mfu_model is not None:
         result["mfu_model"] = round(mfu_model, 3)  # CLIP tower fwd+bwd only
 
+    # Link-bandwidth probe (r5, VERDICT item 4): one 720p-frame-sized
+    # (~2.7 MB) device->host pull, timed AFTER the headline warmed the
+    # transfer path (the FIRST pull of a fresh process can stall minutes
+    # on the tunnel).  Chip-day tunnel tuning swings the video metrics
+    # 85-160 f/min across sessions while the compute headline reproduces
+    # to 0.1% (BASELINE.md:62-70) — this makes every artifact
+    # self-normalizing: expected ms/frame ~= frame_bytes/link + encode.
+    if on_tpu:
+        try:
+            import numpy as _np
+            base = jnp.zeros((720, 1280, 3), jnp.uint8)
+            _np.asarray(base + jnp.uint8(0))      # warm compile + pull path
+            times = []
+            for i in range(1, 4):
+                # a FRESH array each time: jax caches the host value on
+                # the Array object after the first transfer, so re-pulling
+                # the same object times the cache (observed 0.0 ms)
+                f = base + jnp.uint8(i)
+                f.block_until_ready()             # compute done (add ~ us)
+                t0 = time.perf_counter()
+                _np.asarray(f)
+                times.append(time.perf_counter() - t0)
+            t_med = sorted(times)[1]
+            result["link_MBps"] = round(base.nbytes / t_med / 1e6, 1)
+            result["link_ms_per_720p_frame"] = round(t_med * 1e3, 1)
+        except Exception as e:  # pragma: no cover - hardware-dependent
+            result["link_error"] = repr(e)[:80]
+
+    # cppn family rate (r5, VERDICT item 2): the driver artifact tracks a
+    # second generator family beyond FFT; guarded like the video stage so
+    # the headline always prints
+    if on_tpu and not os.environ.get("APHANTASIA_BENCH_NO_CPPN"):
+        try:
+            import contextlib
+            import sys as _sys
+            sys_path_dir = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "scripts")
+            _sys.path.insert(0, sys_path_dir)
+            try:
+                from bench_entrypoints import bench_cppn
+                with contextlib.redirect_stdout(_sys.stderr):
+                    cp = bench_cppn(True)
+                result["cppn_it_s"] = cp["it_s"]
+                result["cppn_config"] = cp["config"]
+            finally:
+                _sys.path.remove(sys_path_dir)
+        except Exception as e:  # pragma: no cover - hardware-dependent
+            result["cppn_error"] = repr(e)[:120]
+
     # Video throughput, driver-visible (VERDICT r2 item 3): illustrip
     # frames/min with and without the DA-V2 3D depth warp, via the real
     # CLI entry point (bench_illustrip.measure — warm rate of the second

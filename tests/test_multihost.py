@@ -33,6 +33,22 @@ def test_shard_scenes_round_robin_covers_all():
     assert shard_scenes(5, 0, 1) == list(range(5))
 
 
+def test_make_mesh_dcn_hosts_outer_order():
+    """Single-process case: one 'data' axis over all local devices, in
+    process-grouped order (the hosts-outer property degenerates to plain
+    device order with one process)."""
+    import jax
+    from aphantasia_tpu.parallel.dcn import make_mesh_dcn
+    mesh = make_mesh_dcn()
+    assert mesh.axis_names == ("data",)
+    assert mesh.shape["data"] == len(jax.devices())
+    assert list(mesh.devices.ravel()) == list(jax.devices())
+    # n_local truncation (each process contributes its first n)
+    mesh2 = make_mesh_dcn(n_local=2)
+    assert mesh2.shape["data"] == 2
+    assert list(mesh2.devices.ravel()) == list(jax.devices())[:2]
+
+
 def _free_port():
     s = socket.socket()
     s.bind(("localhost", 0))
