@@ -114,10 +114,15 @@ def vqgan_decode(params, cfg: VQGANConfig, z, dtype=jnp.float32,
     x = _resnet_block(x, mid["block2"])
     for level in reversed(range(len(cfg.ch_mult))):
         lev = params["up"][level]
-        for blk in lev["blocks"]:
+        attns = lev.get("attns", [])
+        # taming interleaves per block: up[l].block[i] then up[l].attn[i]
+        # (taming Decoder.forward; attn list, when present, has one entry
+        # per res block) — NOT blocks-then-attns (r5 fidelity fix; the
+        # pre-r5 ordering also leaked into the torch mirror golden)
+        for i, blk in enumerate(lev["blocks"]):
             x = _resnet_block(x, blk)
-        for att in lev.get("attns", []):
-            x = _attn_block(x, att)
+            if i < len(attns):
+                x = _attn_block(x, attns[i])
         if level != 0:
             x = _upsample(x, lev["upsample"])
     x = _conv(_swish(_group_norm(x, params["norm_out"])), params["conv_out"])
@@ -173,6 +178,15 @@ def vqgan_init(key: jax.Array, cfg: VQGANConfig):
             blocks.append(res_block(cur, cout))
             cur = cout
         lev = {"blocks": blocks}
+        # structural parity with the real checkpoints (r5): taming puts
+        # one attn per res block at levels whose TRAIN-time resolution is
+        # in attn_resolutions — at the 256-trained configs that is
+        # exactly the coarsest level (256/16=16, 256/8=32), matching what
+        # convert_taming reads from real f16/gumbel files.  Random-init
+        # runs and benches now carry the same FLOPs as real weights.
+        if cfg.attn_resolutions and level == len(cfg.ch_mult) - 1:
+            lev["attns"] = [attn_block(cur)
+                            for _ in range(cfg.num_res_blocks + 1)]
         if level != 0:
             lev["upsample"] = _conv_init(next(keys), 3, 3, cur, cur)
         ups[level] = lev
@@ -191,20 +205,36 @@ def latent_init(key: jax.Array, cfg: VQGANConfig, size) -> jnp.ndarray:
 
 @dataclasses.dataclass(frozen=True)
 class VQGANParameterizer:
-    """Latent-z generator wrapping a frozen decoder."""
+    """Latent-z generator wrapping a frozen decoder.
+
+    `compute_dtype`: decoder conv precision — "auto" = bf16 on TPU
+    (activations + weights; GroupNorm moments and the attn softmax stay
+    f32 inside their blocks, final image cast back to f32), f32
+    elsewhere.  Same pattern/env-override as FFTParameterizer
+    (APHANTASIA_DECODE_F32=1 forces f32).  Measured on-chip r5: the f32
+    default left the whole decoder off the bf16 MXU path — see
+    docs/TPU_MEASUREMENTS_r5.md §5."""
     size: tuple
     cfg: VQGANConfig
     decoder_params: dict = dataclasses.field(hash=False, default=None)
+    compute_dtype: object = "auto"
 
     def __hash__(self):
-        return hash((self.size, self.cfg))
+        return hash((self.size, self.cfg, str(self.compute_dtype)))
 
     def init(self, key: jax.Array) -> jnp.ndarray:
         return latent_init(key, self.cfg, self.size)
 
     def decode(self, z, shift=None, contrast: float = 1.0) -> jnp.ndarray:
         del shift, contrast
-        return vqgan_decode(self.decoder_params, self.cfg, z)
+        dt = self.compute_dtype
+        if dt == "auto":
+            import os
+            on_tpu = jax.default_backend() in ("tpu", "axon")
+            dt = (jnp.bfloat16 if on_tpu
+                  and os.environ.get("APHANTASIA_DECODE_F32") != "1"
+                  else jnp.float32)
+        return vqgan_decode(self.decoder_params, self.cfg, z, dtype=dt)
 
     def image(self, z, shift=None, contrast: float = 1.0) -> jnp.ndarray:
         return self.decode(z)

@@ -24,6 +24,23 @@ def test_decode_shape_and_range():
     assert float(img.min()) >= 0 and float(img.max()) <= 1
 
 
+def test_decode_bf16_compute_close_to_f32():
+    """The TPU default path (VQGANParameterizer compute_dtype='auto', r5)
+    runs the decoder convs in bf16; bound its deviation against the f32
+    decode on a full-size (gumbel-shaped) random decoder — same contract
+    as the FFT bf16 decode bound (test_fft.py)."""
+    cfg = VQGAN_CONFIGS["gumbel_f8_8192"]
+    params = vqgan_init(jax.random.PRNGKey(2), cfg)
+    z = latent_init(jax.random.PRNGKey(3), cfg, (64, 80))
+    f32 = np.asarray(vqgan_decode(params, cfg, z, dtype=jnp.float32))
+    bf16 = np.asarray(vqgan_decode(params, cfg, z, dtype=jnp.bfloat16))
+    assert bf16.dtype == np.float32          # output stays f32
+    err = np.abs(bf16 - f32).mean() / (f32.std() + 1e-9)
+    assert err < 0.05, err
+    corr = np.corrcoef(bf16.ravel(), f32.ravel())[0, 1]
+    assert corr > 0.995, corr
+
+
 def test_f16_config_factor():
     assert VQGAN_CONFIGS["imagenet_f16_1024"].f == 16
     assert VQGAN_CONFIGS["gumbel_f8_8192"].f == 8
@@ -77,9 +94,13 @@ def _tiny_taming_sd(seed=0):
     res("decoder.mid.block_1", block_in, block_in)
     attn("decoder.mid.attn_1", block_in)
     res("decoder.mid.block_2", block_in, block_in)
-    # level 1 (coarsest, ch_mult=2): blocks + upsample; level 0: blocks
+    # level 1 (coarsest, ch_mult=2): blocks + INTERLEAVED attns (the real
+    # gumbel/f16 checkpoints carry attn.0..attn.nb at the coarsest level;
+    # taming applies block[i] then attn[i]) + upsample; level 0: blocks
     res("decoder.up.1.block.0", block_in, 16)
+    attn("decoder.up.1.attn.0", 16)
     res("decoder.up.1.block.1", 16, 16)
+    attn("decoder.up.1.attn.1", 16)
     conv("decoder.up.1.upsample.conv", 16, 16, 3)
     res("decoder.up.0.block.0", 16, 8)
     res("decoder.up.0.block.1", 8, 8)
@@ -143,13 +164,12 @@ def _torch_taming_decode(sd, z_np, cfg):
     x = attn(x, "decoder.mid.attn_1")
     x = res(x, "decoder.mid.block_2")
     for level in reversed(range(len(cfg.ch_mult))):
+        # taming Decoder.forward interleaves block[i] then attn[i]
         j = 0
         while f"decoder.up.{level}.block.{j}.norm1.weight" in sd:
             x = res(x, f"decoder.up.{level}.block.{j}")
-            j += 1
-        j = 0
-        while f"decoder.up.{level}.attn.{j}.norm.weight" in sd:
-            x = attn(x, f"decoder.up.{level}.attn.{j}")
+            if f"decoder.up.{level}.attn.{j}.norm.weight" in sd:
+                x = attn(x, f"decoder.up.{level}.attn.{j}")
             j += 1
         if level != 0:
             x = F.interpolate(x, scale_factor=2.0, mode="nearest")
