@@ -278,6 +278,14 @@ def main():
                 result["video_fpm_sustained"] = round(sus, 1)
             if sus_d is not None:
                 result["video_fpm_sustained_depth"] = round(sus_d, 1)
+            # self-normalized expectation (BASELINE.md, r5): the delivery
+            # chain is transfer-bound here, so the link probe predicts
+            # the sustained rate — min(frame program 719 f/min,
+            # 60 s / 2.765 MB x link).  Judgment band [0.5, 1.35].
+            if sus is not None and result.get("link_MBps"):
+                pred = min(719.0, 21.7 * result["link_MBps"])
+                result["video_fpm_predicted"] = round(pred, 1)
+                result["video_fpm_vs_predicted"] = round(sus / pred, 2)
         except Exception as e:  # pragma: no cover - hardware-dependent
             result["video_error"] = repr(e)[:120]
         finally:

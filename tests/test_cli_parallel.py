@@ -26,6 +26,18 @@ def test_clip_fft_mesh_tp_pallas_profile(tmp_path):
     assert os.path.isdir(prof_dir) and os.listdir(prof_dir)  # trace captured
 
 
+def test_clip_fft_mesh_dcn_single_process(tmp_path):
+    """--mesh dcn (r5): with one process it degenerates to a data axis
+    over all local devices — the CLI path that scales to a real
+    multi-host run with --fleet R/W@coord (parallel/dcn.py)."""
+    a = clip_fft.get_args([
+        "-t", "test", "--size", "64-48", "--steps", "2", "--samples", "8",
+        "--out_dir", str(tmp_path), "--mesh", "dcn",
+        "--transform", "none"])
+    clip_fft.run(a)
+    assert glob.glob(str(tmp_path / "*.mp4"))
+
+
 def test_illustra_mesh(tmp_path):
     a = illustra.get_args([
         "-t", str(_txt(tmp_path, "one line")), "--size", "64-48",
