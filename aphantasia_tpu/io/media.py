@@ -427,7 +427,9 @@ class AsyncFrameWriter:
         if self._err:
             raise self._err
         paths = list(paths)
-        nbytes = self._nbytes(stacked)
+        if not paths:
+            return    # empty chunk: nothing to admit (pool explode divides
+        nbytes = self._nbytes(stacked)  # the byte budget by len(paths))
         self._admit(nbytes)
         self._q.put((paths, stacked, tone, nbytes))
 

@@ -278,12 +278,15 @@ def main():
                 result["video_fpm_sustained"] = round(sus, 1)
             if sus_d is not None:
                 result["video_fpm_sustained_depth"] = round(sus_d, 1)
-            # self-normalized expectation (BASELINE.md, r5): the delivery
-            # chain is transfer-bound here, so the link probe predicts
-            # the sustained rate — min(frame program 719 f/min,
-            # 60 s / 2.765 MB x link).  Judgment band [0.5, 1.35].
+            # self-normalized expectation (BASELINE.md, r5): serial model
+            # ms/frame = transfer(2.765 MB / link) + frame program (83 ms
+            # = 719 f/min on-device).  Pull/compute overlap can only beat
+            # it (toward the pure-transfer bound), so the judgment band
+            # is [0.7, 1.45].  Calibrated on three sessions: ratios
+            # 0.88 / 0.93 / 1.04-1.38 (r5 fast-link, r5 slow-link, r4).
             if sus is not None and result.get("link_MBps"):
-                pred = min(719.0, 21.7 * result["link_MBps"])
+                t_frame_s = 2.765 / result["link_MBps"] + 0.083
+                pred = 60.0 / t_frame_s
                 result["video_fpm_predicted"] = round(pred, 1)
                 result["video_fpm_vs_predicted"] = round(sus / pred, 2)
         except Exception as e:  # pragma: no cover - hardware-dependent
