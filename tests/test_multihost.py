@@ -99,12 +99,18 @@ def test_illustra_fleet_two_processes(tmp_path):
 
 
 @pytest.mark.slow
-def test_dcn_cross_host_psum_parity(tmp_path):
+@pytest.mark.parametrize("mode,mesh_shape", [
+    ("data", {"data": 8}),
+    ("spatial", {"data": 2, "spatial": 4}),
+])
+def test_dcn_cross_host_psum_parity(tmp_path, mode, mesh_shape):
     """VERDICT r4 item 3: a SINGLE optimization spanning hosts.  Two real
     JAX processes x 4 virtual CPU devices run one deterministic train
-    step over the global hosts-outer data:8 mesh (the generator-grad psum
+    step over the global hosts-outer mesh (the generator-grad psum
     crosses the process boundary); their loss/digest must agree with each
-    other AND with the same step on a single-process 8-device mesh."""
+    other AND with the same step on a single-process 8-device mesh.
+    mode='spatial' composes DCN with the sharded-canvas axis — the pod
+    layout where the FFT-transpose all_to_all stays intra-host."""
     env_base = dict(os.environ,
                     PYTHONPATH=os.path.dirname(os.path.dirname(
                         os.path.abspath(__file__))))
@@ -114,7 +120,7 @@ def test_dcn_cross_host_psum_parity(tmp_path):
     def run(rank, world, coord, n_local, out):
         return subprocess.Popen(
             [sys.executable, "-m", "aphantasia_tpu.parallel.dcn",
-             str(rank), str(world), coord, str(n_local), str(out)],
+             str(rank), str(world), coord, str(n_local), str(out), mode],
             env=env_base, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
 
     # single-process anchor
@@ -122,7 +128,7 @@ def test_dcn_cross_host_psum_parity(tmp_path):
     txt = p.communicate(timeout=600)[0].decode()
     assert p.returncode == 0, txt[-2000:]
     single = json.loads((tmp_path / "single.json").read_text())
-    assert single["mesh"] == {"data": 8}
+    assert single["mesh"] == mesh_shape
 
     # two processes over the localhost coordination service
     port = _free_port()
@@ -135,7 +141,7 @@ def test_dcn_cross_host_psum_parity(tmp_path):
             for r in range(2)]
     for r in recs:
         assert r["n_devices"] == 8 and r["n_local"] == 4
-        assert r["mesh"] == {"data": 8}
+        assert r["mesh"] == mesh_shape
     # both processes executed the same global program
     assert recs[0]["loss"] == recs[1]["loss"]
     assert recs[0]["digest"] == recs[1]["digest"]
