@@ -88,13 +88,22 @@ def mixed_pipeline(key, cuts):
 
 
 def measure(samples=200, trials=3, size=(720, 1280), modsize=224,
-            model="ViT-B/32", seed=0):
+            model="ViT-B/32", seed=0, production_kernels=False):
+    """production_kernels=True swaps the exact/mixed sides to the
+    PRODUCTION pipelines (ops/augs.transforms_fast / _mixed — the Pallas
+    banded-matmul kernel) instead of the platform-neutral gather warp;
+    only meaningful on TPU (Mosaic).  The kernel is <=1e-3-golden vs
+    torch, so the two measurements should agree to ~1e-4 in cosine —
+    running both closes the 'the exact side wasn't the shipped kernel'
+    gap (docs/TPU_MEASUREMENTS_r5.md §1b)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
     from aphantasia_tpu.models.clip.model import (CLIP_CONFIGS, clip_init,
                                                   encode_image)
-    from aphantasia_tpu.ops.augs import transforms_fast_affine
+    from aphantasia_tpu.ops.augs import (transforms_fast_affine,
+                                         transforms_fast,
+                                         transforms_fast_mixed)
     from aphantasia_tpu.ops.sampler import CutoutSampler
     from aphantasia_tpu.params.fft import FFTParameterizer
 
@@ -105,27 +114,51 @@ def measure(samples=200, trials=3, size=(720, 1280), modsize=224,
     sampler = CutoutSampler(size, samples, modsize, align="uniform",
                             macro=0.4)
 
+    # one jit PER pipeline (not one fused program), and clip_params/img
+    # passed as ARGUMENTS: closured arrays embed as HLO constants, and
+    # the tunneled remote-compile endpoint rejects a program body
+    # carrying the ~450 MB ViT weights (HTTP 413)
     @jax.jit
-    def run(key):
+    def cut(key, frame):
         k_box, k_t = jax.random.split(key)
-        cuts = sampler.cut(img, sampler.sample_boxes(k_box))
-        ex, applied = exact_pipeline(k_t, cuts)
-        af = transforms_fast_affine(k_t, cuts)
-        mx = mixed_pipeline(k_t, cuts)
+        return sampler.cut(frame, sampler.sample_boxes(k_box)), k_t
 
-        def emb(x):
-            e = encode_image(clip_params, cfg, x)
+    def emb_of(transform):
+        @jax.jit
+        def f(k_t, cuts, cp):
+            e = encode_image(cp, cfg, transform(k_t, cuts))
             return e / jnp.linalg.norm(e, axis=-1, keepdims=True)
+        return f
 
-        e_ex, e_af, e_mx = emb(ex), emb(af), emb(mx)
-        return (jnp.sum(e_af * e_ex, -1), jnp.sum(e_mx * e_ex, -1), applied)
+    if production_kernels:
+        emb_ex = emb_of(transforms_fast)
+        emb_mx = emb_of(transforms_fast_mixed)
+
+        @jax.jit
+        def applied_of(k_t, cuts):
+            from aphantasia_tpu.ops.perspective import perspective_endpoints
+            k1, _, _ = jax.random.split(k_t, 3)
+            start, end = perspective_endpoints(
+                k1, cuts.shape[0], *cuts.shape[2:], distortion=0.33, p=0.2)
+            return jnp.abs(end - start[None]).max((1, 2)) > 0
+    else:
+        emb_ex = emb_of(lambda k, c: exact_pipeline(k, c)[0])
+        emb_mx = emb_of(mixed_pipeline)
+
+        @jax.jit
+        def applied_of(k_t, cuts):
+            return exact_pipeline(k_t, cuts)[1]
+    emb_af = emb_of(transforms_fast_affine)
 
     cos_af, cos_mx, app = [], [], []
     for t in range(trials):
-        a, m, ap = run(jax.random.PRNGKey(seed + 10 * t))
-        cos_af.append(np.asarray(a))
-        cos_mx.append(np.asarray(m))
-        app.append(np.asarray(ap))
+        cuts, k_t = cut(jax.random.PRNGKey(seed + 10 * t), img)
+        e_ex = emb_ex(k_t, cuts, clip_params)
+        cos_af.append(np.asarray(
+            jnp.sum(emb_af(k_t, cuts, clip_params) * e_ex, -1)))
+        cos_mx.append(np.asarray(
+            jnp.sum(emb_mx(k_t, cuts, clip_params) * e_ex, -1)))
+        app.append(np.asarray(applied_of(k_t, cuts)))
     cos_af = np.concatenate(cos_af)
     cos_mx = np.concatenate(cos_mx)
     app = np.concatenate(app)
@@ -155,10 +188,15 @@ def main(argv=None):
     ap.add_argument("--samples", type=int, default=200)
     ap.add_argument("--trials", type=int, default=3)
     ap.add_argument("--platform", default="cpu")
+    ap.add_argument("--production-kernels", action="store_true",
+                    help="exact/mixed sides via the shipped Pallas "
+                         "pipelines (TPU)")
     a = ap.parse_args(argv)
     import jax
     jax.config.update("jax_platforms", a.platform)
-    out = measure(samples=a.samples, trials=a.trials)
+    out = measure(samples=a.samples, trials=a.trials,
+                  production_kernels=a.production_kernels)
+    out["production_kernels"] = a.production_kernels
     print(json.dumps(out, indent=1))
     return 0
 
