@@ -230,8 +230,159 @@ def bench_interpol(on_tpu):
             "config": f"{size[1]}x{size[0]} decode-only crossfade"}
 
 
+def _headline_family(par_factory, label):
+    """Headline-config bench (1280x720, 200 samples, ViT-B/32, sim=mix,
+    fast augs — bench.py's exact shape) for an alternate generator."""
+    def bench(on_tpu):
+        import jax
+        import jax.numpy as jnp
+        from aphantasia_tpu.ops.sampler import CutoutSampler
+        from aphantasia_tpu.ops.optim import build_optimizer
+        from aphantasia_tpu.parallel.step import (StepSettings,
+                                                  build_train_loop)
+        size, samples, inner = ((720, 1280), 200, 40) if on_tpu \
+            else ((96, 128), 4, 2)
+        cfg, clip_params = _clip(on_tpu)
+        par = par_factory(size)
+        sampler = CutoutSampler(size, samples, cfg.image_resolution,
+                                align="uniform", macro=0.4)
+        settings = StepSettings(
+            sim="mix", transform="fast", total_steps=inner * 5,
+            clip_dtype=jnp.bfloat16 if on_tpu else jnp.float32)
+        optimizer = build_optimizer("adam_custom", 0.05)
+        loop = build_train_loop(par, sampler, cfg, settings, optimizer,
+                                inner)
+        gp = par.init(jax.random.PRNGKey(1))
+        state = [gp, optimizer.init(gp),
+                 jnp.zeros((samples, cfg.embed_dim))]
+        embs = jax.random.normal(jax.random.PRNGKey(2),
+                                 (1, cfg.embed_dim))
+        prompts = ((embs, jnp.ones((1,)), jnp.float32(-1.0)),)
+        keys = jax.random.split(jax.random.PRNGKey(3), 16)
+
+        def run(i):
+            state[0], state[1], state[2], losses = loop(
+                *state, clip_params, None, None, prompts, keys[i],
+                jnp.int32(i * inner))
+            return losses[-1]
+
+        return {"it_s": round(_time_loop(run, inner), 3),
+                "config": f"{size[1]}x{size[0]} s={samples} {label}"}
+    return bench
+
+
+def _dwt_par(size):
+    from aphantasia_tpu.params.dwt import DWTParameterizer
+    return DWTParameterizer(size, "coif2", 0.3, 1.8)   # clip_fft --dwt defaults
+
+
+def _pixel_par(size):
+    from aphantasia_tpu.params.pixel import PixelParameterizer
+    return PixelParameterizer(size, colors=1.8)
+
+
+def bench_siren(on_tpu):
+    """SIREN generator at the cppn CLI's siren defaults (nf=256, 5
+    layers, w0=30 — cli/cppn.py:86-91) on the 1024^2 canvas."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from aphantasia_tpu.params.siren import SIRENParameterizer
+    from aphantasia_tpu.ops.sampler import CutoutSampler
+    from aphantasia_tpu.parallel.step import StepSettings, build_train_loop
+
+    size, samples, inner = ((1024, 1024), 50, 20) if on_tpu \
+        else ((128, 128), 4, 2)
+    cfg, clip_params = _clip(on_tpu)
+    par = SIRENParameterizer(size, 256, 5, 30.0, 30.0)
+    sampler = CutoutSampler(size, samples, cfg.image_resolution,
+                            align="overscan", macro=0.4)
+    settings = StepSettings(
+        sim="cossim", transform="none", total_steps=inner * 5,
+        clip_dtype=jnp.bfloat16 if on_tpu else jnp.float32)
+    optimizer = optax.adam(1e-4)
+    loop = build_train_loop(par, sampler, cfg, settings, optimizer, inner)
+    gp = par.init(jax.random.PRNGKey(1))
+    state = [gp, optimizer.init(gp), jnp.zeros((samples, cfg.embed_dim))]
+    embs = jax.random.normal(jax.random.PRNGKey(2), (1, cfg.embed_dim))
+    prompts = ((embs, jnp.ones((1,)), jnp.float32(-1.0)),)
+    keys = jax.random.split(jax.random.PRNGKey(3), 16)
+
+    def run(i):
+        state[0], state[1], state[2], losses = loop(
+            *state, clip_params, None, None, prompts, keys[i],
+            jnp.int32(i * inner))
+        return losses[-1]
+
+    return {"it_s": round(_time_loop(run, inner), 3),
+            "config": f"{size[1]}x{size[0]} siren nf=256 l=5 s={samples}"}
+
+
+def bench_models(on_tpu, names=None):
+    """Headline it/s per CLIP model at its xmem sample budget
+    (reference clip_fft.py:125-127 cascade — the table users consult
+    when switching models)."""
+    import jax
+    import jax.numpy as jnp
+    from aphantasia_tpu.models.clip.model import (CLIP_CONFIGS, XMEM,
+                                                  clip_init)
+    from aphantasia_tpu.ops.sampler import CutoutSampler
+    from aphantasia_tpu.ops.optim import build_optimizer
+    from aphantasia_tpu.params.fft import FFTParameterizer
+    from aphantasia_tpu.parallel.step import StepSettings, build_train_loop
+
+    if names is None:
+        names = (["ViT-B/16", "RN101", "RN50x4", "RN50x16", "ViT-L/14"]
+                 if on_tpu else ["ViT-B/16"])
+    size = (720, 1280) if on_tpu else (96, 128)
+    out = {}
+    for name in names:
+        cfg = CLIP_CONFIGS[name]
+        samples = max(int(200 * XMEM.get(name, 1.0)), 1) if on_tpu else 2
+        inner = 20 if on_tpu else 2
+        clip_params = clip_init(jax.random.PRNGKey(0), cfg)
+        if on_tpu:
+            clip_params = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if x.dtype == jnp.float32 else x, clip_params)
+        par = FFTParameterizer(size, decay_power=1.5, colors=1.8)
+        sampler = CutoutSampler(size, samples, cfg.image_resolution,
+                                align="uniform", macro=0.4)
+        settings = StepSettings(
+            sim="mix", transform="fast", total_steps=inner * 5,
+            clip_dtype=jnp.bfloat16 if on_tpu else jnp.float32)
+        optimizer = build_optimizer("adam_custom", 0.05)
+        loop = build_train_loop(par, sampler, cfg, settings, optimizer,
+                                inner)
+        gp = par.init(jax.random.PRNGKey(1))
+        state = [gp, optimizer.init(gp),
+                 jnp.zeros((samples, cfg.embed_dim))]
+        embs = jax.random.normal(jax.random.PRNGKey(2),
+                                 (1, cfg.embed_dim))
+        prompts = ((embs, jnp.ones((1,)), jnp.float32(-1.0)),)
+        keys = jax.random.split(jax.random.PRNGKey(3), 16)
+
+        def run(i, loop=loop, state=state, prompts=prompts, keys=keys,
+                inner=inner, clip_params=clip_params):
+            state[0], state[1], state[2], losses = loop(
+                *state, clip_params, None, None, prompts, keys[i],
+                jnp.int32(i * inner))
+            return losses[-1]
+
+        out[name] = {"it_s": round(_time_loop(run, inner, chunks=2), 3),
+                     "samples": samples}
+        print(f"   {name}: {out[name]}", flush=True)
+    return out
+
+
 FAMILIES = {"cppn": bench_cppn, "vqgan": bench_vqgan,
-            "illustra": bench_illustra, "interpol": bench_interpol}
+            "illustra": bench_illustra, "interpol": bench_interpol,
+            "dwt": _headline_family(_dwt_par, "DWT coif2 headline"),
+            "pixel": _headline_family(_pixel_par, "RGB-pixel headline"),
+            "siren": bench_siren,
+            "models": bench_models,
+            "models_xl": lambda on_tpu: bench_models(
+                on_tpu, names=["RN50x64"] if on_tpu else ["ViT-B/16"])}
 
 
 def main(argv=None):
