@@ -15,7 +15,8 @@ import tempfile
 import time
 
 
-def measure(depth: float, frames: int = 24, warm_runs: int = 1):
+def measure(depth: float, frames: int = 24, warm_runs: int = 1,
+            gen: str = "FFT"):
     """Returns (cold, warm) frames/min: the first run pays model init +
     compile; later runs reuse the in-process jit cache, i.e. the sustained
     production rate of a long render.  `warm` is the MEDIAN over
@@ -38,7 +39,7 @@ def measure(depth: float, frames: int = 24, warm_runs: int = 1):
         out = tempfile.mkdtemp(prefix="bench_trip_")
         argv = ["-t", "benchmark scene", "--size", "1280-720",
                 "--steps", str(frames), "--fstep", str(frames),
-                "--opt_step", "3", "--samples", "100", "--gen", "FFT",
+                "--opt_step", "3", "--samples", "100", "--gen", gen,
                 "--transform", "fast", "--out_dir", out, "-nv"]
         if depth:
             argv += ["--depth", str(depth)]
