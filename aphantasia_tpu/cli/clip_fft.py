@@ -30,6 +30,7 @@ from aphantasia_tpu.parallel.step import (
     StepSettings, build_train_step, build_train_loop_frames,
     frames_per_dispatch, build_render)
 from aphantasia_tpu.cli.common import (
+    apply_persp,
     ClipWrapper, parse_size, apply_sample_budget, build_prompt_groups,
     dualmod_steps, maybe_translate, resolve_dtype, add_parallel_flags,
     setup_mesh, apply_platform)
@@ -115,6 +116,7 @@ def main(argv=None):
 
 def run(a):
     apply_platform()
+    apply_persp(a)
     from aphantasia_tpu.parallel.multihost import init_fleet
     init_fleet(getattr(a, 'fleet', None))  # starts the JAX
     # multi-process runtime on pods; this CLI runs its whole job per host

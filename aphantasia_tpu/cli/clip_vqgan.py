@@ -24,6 +24,7 @@ from aphantasia_tpu.parallel.step import (StepSettings,
                                           build_train_loop_frames,
                                           frames_per_dispatch)
 from aphantasia_tpu.cli.common import (
+    apply_persp,
     ClipWrapper, parse_size, apply_sample_budget, build_prompt_groups,
     maybe_translate, resolve_dtype, add_parallel_flags, setup_mesh, apply_platform)
 from aphantasia_tpu.io.media import img_read, img_list, img_save, frames_to_video
@@ -74,6 +75,7 @@ def main(argv=None):
 
 def run(a):
     apply_platform()
+    apply_persp(a)
     from aphantasia_tpu.parallel.multihost import init_fleet
     init_fleet(getattr(a, 'fleet', None))  # starts the JAX
     # multi-process runtime on pods; this CLI runs its whole job per host

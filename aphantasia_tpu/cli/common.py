@@ -175,6 +175,14 @@ def add_parallel_flags(parser):
                              "R/W@coord — a single optimization spanning "
                              "hosts; only the generator-grad psum crosses "
                              "DCN)")
+    parser.add_argument('--persp', default=None,
+                        choices=['affine', 'mixed', 'exact'],
+                        help="fast-pipeline perspective fidelity (measured "
+                             "ladder, docs/TPU_MEASUREMENTS_r5.md §1: "
+                             "affine 25.0 it/s / 0.993 embedding-cosine, "
+                             "mixed 17.5 / 0.9997, exact 10.6 / 1). "
+                             "Default: affine (equivalent env var: "
+                             "APHANTASIA_EXACT_PERSP=mixed|1)")
     parser.add_argument('--profile', default=None,
                         help='Capture a jax.profiler trace into this directory')
     parser.add_argument('--pallas', action='store_true',
@@ -188,6 +196,21 @@ def add_parallel_flags(parser):
                              "other CLIs accept the runtime but run their "
                              "whole job per host")
     return parser
+
+
+def apply_persp(a) -> None:
+    """Resolve the --persp flag into the APHANTASIA_EXACT_PERSP knob
+    ops/augs.get_transform reads (r5; flag wins over a pre-set env var).
+    Call before any transform is built."""
+    import os
+    mode = getattr(a, 'persp', None)
+    if mode is None:
+        return
+    if mode == 'affine':
+        os.environ.pop('APHANTASIA_EXACT_PERSP', None)
+    else:
+        os.environ['APHANTASIA_EXACT_PERSP'] = (
+            'mixed' if mode == 'mixed' else '1')
 
 
 def setup_mesh(spec, clip_wrappers=(), verbose=True):

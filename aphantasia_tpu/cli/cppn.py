@@ -22,6 +22,7 @@ from aphantasia_tpu.ops.sampler import CutoutSampler
 from aphantasia_tpu.ops.losses import aesthetic_get, aesthetic_dims
 from aphantasia_tpu.parallel.step import StepSettings, build_train_step
 from aphantasia_tpu.cli.common import (
+    apply_persp,
     ClipWrapper, parse_size, build_prompt_groups, dualmod_steps,
     maybe_translate, resolve_dtype, add_parallel_flags, setup_mesh, apply_platform)
 from aphantasia_tpu.models.clip.model import XMEM
@@ -99,6 +100,7 @@ def main(argv=None):
 
 def run(a):
     apply_platform()
+    apply_persp(a)
     from aphantasia_tpu.parallel.multihost import init_fleet
     init_fleet(getattr(a, 'fleet', None))  # starts the JAX
     # multi-process runtime on pods; this CLI runs its whole job per host

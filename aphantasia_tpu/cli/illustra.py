@@ -22,6 +22,7 @@ from aphantasia_tpu.ops.optim import build_optimizer
 from aphantasia_tpu.ops.losses import aesthetic_get, aesthetic_dims
 from aphantasia_tpu.parallel.step import StepSettings, build_train_step, build_render
 from aphantasia_tpu.cli.common import (
+    apply_persp,
     ClipWrapper, parse_size, apply_sample_budget, build_prompt_groups,
     dualmod_steps, maybe_translate, resolve_dtype, add_parallel_flags,
     setup_mesh, apply_platform)
@@ -103,6 +104,7 @@ def main(argv=None):
 
 def run(a):
     apply_platform()
+    apply_persp(a)
     from aphantasia_tpu.parallel.multihost import init_fleet, shard_scenes
     rank, world = init_fleet(getattr(a, 'fleet', None))
     fleet = world > 1

@@ -31,6 +31,34 @@ def test_exact_perspective_remains_available(monkeypatch):
     assert augs.get_transform("fast") is want
 
 
+def test_persp_cli_flag_maps_to_env(monkeypatch):
+    """--persp affine|mixed|exact (r5) resolves to the env knob
+    get_transform reads; the flag wins over a pre-set env var."""
+    from aphantasia_tpu.cli.common import apply_persp
+
+    class A:
+        persp = None
+
+    monkeypatch.setenv("APHANTASIA_EXACT_PERSP", "1")
+    apply_persp(A())                       # no flag: env untouched
+    assert os.environ["APHANTASIA_EXACT_PERSP"] == "1"
+    A.persp = "affine"
+    apply_persp(A())
+    assert "APHANTASIA_EXACT_PERSP" not in os.environ
+    A.persp = "mixed"
+    apply_persp(A())
+    assert os.environ["APHANTASIA_EXACT_PERSP"] == "mixed"
+    A.persp = "exact"
+    apply_persp(A())
+    assert os.environ["APHANTASIA_EXACT_PERSP"] == "1"
+    # every transform-using CLI exposes the flag
+    from aphantasia_tpu.cli import (clip_fft, clip_vqgan, cppn, illustra,
+                                    illustrip)
+    for mod in (clip_fft, clip_vqgan, cppn, illustra, illustrip):
+        a = mod.get_args(["-t", "x", "--persp", "mixed"])
+        assert a.persp == "mixed", mod.__name__
+
+
 def test_mixed_perspective_mode_selectable(monkeypatch):
     # the r5 ladder rung (exact persp + affine rotate, 17.5 it/s /
     # cosine 0.9997 — TPU_MEASUREMENTS_r5.md §1) selects via =mixed
